@@ -1,0 +1,262 @@
+"""Articulated rigid-body dynamics for ChainModel (Featherstone, body frame).
+
+Replaces PyBullet's stepSimulation for the robot (reference pybullet.py:68-71)
+with a pure-JAX implementation:
+
+  * bias forces  C(q, qd)·qd + G(q)  via the recursive Newton-Euler algorithm,
+  * joint-space mass matrix M(q) via the composite-rigid-body algorithm,
+  * one semi-implicit Euler substep at 1/500 s with PyBullet's motor
+    semantics: POSITION_CONTROL drives each joint toward the velocity
+    kp · (q_target − q) / dt (PyBullet positionGain default 0.1), realised by
+    an inverse-dynamics torque clamped to the per-joint force limit
+    (pybullet.py:437-463 control_joints; panda.py:63 joint_forces).
+
+Everything is single-env; batch with vmap.  The dof count is tiny (7 or 9) so
+all recursions are unrolled; under vmap they become batched (B,3,3)x(B,3)
+ops, which XLA fuses into a handful of VPU kernels.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from panda_gym_tpu.models.chain import ChainModel, JOINT_REVOLUTE
+
+# ---------------------------------------------------------------------------
+# spatial-vector helpers; a motion vector is a pair (omega, v), a force
+# vector a pair (n, f), all expressed in some body frame about its origin.
+# ---------------------------------------------------------------------------
+
+
+def _joint_X(model: ChainModel, d: int, q):
+    """Child-body frame pose (R, p) in parent-body coords for dof d at q."""
+    from panda_gym_tpu.ops.kinematics import _axis_angle_mat
+
+    if model.jtype_tuple[d] == JOINT_REVOLUTE:
+        R = model.X_R[d] @ _axis_angle_mat(model.axis[d], q)
+        p = model.X_p[d]
+    else:
+        R = model.X_R[d]
+        p = model.X_p[d] + R @ (model.axis[d] * q)
+    return R, p
+
+
+def _motion_to_child(R, p, om, v):
+    """Motion (om, v@parent-origin, parent coords) -> child coords @ child origin."""
+    Rt = R.T
+    return Rt @ om, Rt @ (v + jnp.cross(om, p))
+
+
+def _force_to_parent(R, p, n, f):
+    """Force (n@child-origin, child coords) -> parent coords @ parent origin."""
+    f_p = R @ f
+    n_p = R @ n + jnp.cross(p, f_p)
+    return n_p, f_p
+
+
+def _inertia_mul(m, c, I_o, om, v):
+    """Spatial inertia (m, com c, I about origin) applied to motion (om, v)."""
+    n = I_o @ om + m * jnp.cross(c, v)
+    f = m * (v + jnp.cross(om, c))
+    return n, f
+
+
+def _inertia_to_parent(R, p, m, c, I_o):
+    """Express spatial inertia given in child frame in the parent frame."""
+    c_p = R @ c + p
+    # I about child com, rotated to parent coords
+    sk_c = _skew3(c)
+    I_com = I_o - m * (sk_c @ sk_c.T)
+    I_com_p = R @ I_com @ R.T
+    sk_cp = _skew3(c_p)
+    I_o_p = I_com_p + m * (sk_cp @ sk_cp.T)
+    return m, c_p, I_o_p
+
+
+def _skew3(v):
+    z = jnp.zeros(())
+    return jnp.array([
+        [z, -v[2], v[1]],
+        [v[2], z, -v[0]],
+        [-v[1], v[0], z],
+    ])
+
+
+# ---------------------------------------------------------------------------
+# RNEA: inverse dynamics tau = ID(q, qd, qdd) including gravity
+# ---------------------------------------------------------------------------
+
+def rnea(model: ChainModel, q, qd, qdd, gravity=(0.0, 0.0, -9.81)):
+    """Recursive Newton-Euler in body coordinates (Featherstone alg. 5.1).
+
+    With qdd = 0 this yields the bias force C(q,qd)qd + G(q).
+    """
+    g = jnp.asarray(gravity)
+    ndof = model.ndof
+    Xs = []          # (R, p) child-in-parent per dof
+    v_om, v_v = [], []
+    a_om, a_v = [], []
+    f_n, f_f = [], []
+
+    for d in range(ndof):
+        R, p = _joint_X(model, d, q[d])
+        Xs.append((R, p))
+        pd = model.parent_tuple[d]
+        if pd < 0:
+            om_p, v_p = jnp.zeros(3), jnp.zeros(3)
+            aom_p, av_p = jnp.zeros(3), -g  # gravity trick: base accel = -g
+        else:
+            om_p, v_p = v_om[pd], v_v[pd]
+            aom_p, av_p = a_om[pd], a_v[pd]
+
+        om_i, v_i = _motion_to_child(R, p, om_p, v_p)
+        aom_i, av_i = _motion_to_child(R, p, aom_p, av_p)
+
+        ax = model.axis[d]
+        if model.jtype_tuple[d] == JOINT_REVOLUTE:
+            s_om, s_v = ax, jnp.zeros(3)
+        else:
+            s_om, s_v = jnp.zeros(3), ax
+
+        vj_om, vj_v = s_om * qd[d], s_v * qd[d]
+        om_i = om_i + vj_om
+        v_i = v_i + vj_v
+        # a_i += S qdd + v x S qd   (motion cross product)
+        aom_i = aom_i + s_om * qdd[d] + jnp.cross(om_i, vj_om)
+        av_i = av_i + s_v * qdd[d] + jnp.cross(om_i, vj_v) + jnp.cross(v_i, vj_om)
+
+        # f_i = I a + v x* (I v)
+        m, c, I_o = model.mass[d], model.com[d], model.inertia[d]
+        hn, hf = _inertia_mul(m, c, I_o, om_i, v_i)
+        fn_i, ff_i = _inertia_mul(m, c, I_o, aom_i, av_i)
+        fn_i = fn_i + jnp.cross(om_i, hn) + jnp.cross(v_i, hf)
+        ff_i = ff_i + jnp.cross(om_i, hf)
+
+        v_om.append(om_i); v_v.append(v_i)
+        a_om.append(aom_i); a_v.append(av_i)
+        f_n.append(fn_i); f_f.append(ff_i)
+
+    tau = [None] * ndof
+    for d in reversed(range(ndof)):
+        ax = model.axis[d]
+        if model.jtype_tuple[d] == JOINT_REVOLUTE:
+            tau[d] = jnp.dot(ax, f_n[d])
+        else:
+            tau[d] = jnp.dot(ax, f_f[d])
+        pd = model.parent_tuple[d]
+        if pd >= 0:
+            R, p = Xs[d]
+            n_p, f_p = _force_to_parent(R, p, f_n[d], f_f[d])
+            f_n[pd] = f_n[pd] + n_p
+            f_f[pd] = f_f[pd] + f_p
+    return jnp.stack(tau)
+
+
+def bias_force(model: ChainModel, q, qd, gravity=(0.0, 0.0, -9.81)):
+    return rnea(model, q, qd, jnp.zeros_like(q), gravity)
+
+
+# ---------------------------------------------------------------------------
+# CRBA: joint-space mass matrix
+# ---------------------------------------------------------------------------
+
+def crba(model: ChainModel, q):
+    """Composite-rigid-body algorithm (Featherstone alg. 6.2)."""
+    ndof = model.ndof
+    Xs = [(_joint_X(model, d, q[d])) for d in range(ndof)]
+
+    # composite inertias, child-to-parent sweep
+    Ic = [(model.mass[d], model.com[d], model.inertia[d]) for d in range(ndof)]
+    for d in reversed(range(ndof)):
+        pd = model.parent_tuple[d]
+        if pd >= 0:
+            R, p = Xs[d]
+            m_c, c_c, I_c = _inertia_to_parent(R, p, *Ic[d])
+            m_p, c_p, I_p = Ic[pd]
+            m_t = m_p + m_c
+            c_t = jnp.where(m_t > 0, (m_p * c_p + m_c * c_c) / jnp.maximum(m_t, 1e-12), 0.0)
+            Ic[pd] = (m_t, c_t, I_p + I_c)
+
+    M = jnp.zeros((ndof, ndof))
+    for d in range(ndof):
+        ax = model.axis[d]
+        if model.jtype_tuple[d] == JOINT_REVOLUTE:
+            s_om, s_v = ax, jnp.zeros(3)
+        else:
+            s_om, s_v = jnp.zeros(3), ax
+        # F = Ic[d] * S_d, expressed in frame d
+        Fn, Ff = _inertia_mul(*Ic[d], s_om, s_v)
+        M = M.at[d, d].set(jnp.dot(s_om, Fn) + jnp.dot(s_v, Ff))
+        j = d
+        while model.parent_tuple[j] >= 0:
+            R, p = Xs[j]
+            Fn, Ff = _force_to_parent(R, p, Fn, Ff)
+            j = model.parent_tuple[j]
+            axj = model.axis[j]
+            if model.jtype_tuple[j] == JOINT_REVOLUTE:
+                Mdj = jnp.dot(axj, Fn)
+            else:
+                Mdj = jnp.dot(axj, Ff)
+            M = M.at[d, j].set(Mdj)
+            M = M.at[j, d].set(Mdj)
+    return M
+
+
+# ---------------------------------------------------------------------------
+# One physics substep with PyBullet motor semantics
+# ---------------------------------------------------------------------------
+
+# PyBullet's default positionGain for POSITION_CONTROL motors.
+POSITION_GAIN = 0.1
+
+CTRL_POSITION = 0
+CTRL_VELOCITY = 1
+
+
+def motor_substep(
+    model: ChainModel,
+    q,
+    qd,
+    target,
+    dt: float,
+    control_mode: int,
+    gravity=(0.0, 0.0, -9.81),
+    position_gain: float = POSITION_GAIN,
+):
+    """One semi-implicit Euler substep of the motor-driven chain.
+
+    control_mode CTRL_POSITION: desired joint velocity = kp·(target − q)/dt
+    (PyBullet velocity-level position servo); CTRL_VELOCITY: desired joint
+    velocity = target.  The torque that realises the desired velocity in one
+    step is computed by inverse dynamics and clamped to model.effort — within
+    the clamp this reproduces the constraint-motor exactly (incl. gravity
+    compensation); at the clamp the joint follows saturated forward dynamics.
+    """
+    if control_mode == CTRL_POSITION:
+        v_des = position_gain * (target - q) / dt
+    else:
+        v_des = target
+    # maxVelocity clamp (PyBullet applies URDF velocity limits to motors)
+    v_des = jnp.clip(v_des, -model.vel_limit, model.vel_limit)
+
+    qdd_des = (v_des - qd) / dt
+    bias = bias_force(model, q, qd, gravity)
+    M = crba(model, q)
+    tau = M @ qdd_des + bias
+    tau_c = jnp.clip(tau, -model.effort, model.effort)
+
+    # qdd = M^{-1} (tau_c - bias); equals qdd_des when no clamp is active.
+    L = jnp.linalg.cholesky(M + 1e-9 * jnp.eye(model.ndof))
+    y = jax.scipy.linalg.solve_triangular(L, tau_c - bias, lower=True)
+    qdd = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+
+    qd_new = qd + qdd * dt
+    q_new = q + qd_new * dt
+
+    # joint limits: clamp position, kill velocity pushing further out
+    q_clamped = jnp.clip(q_new, model.q_lo, model.q_hi)
+    at_limit = q_clamped != q_new
+    qd_new = jnp.where(at_limit, 0.0, qd_new)
+    return q_clamped, qd_new
