@@ -1,0 +1,293 @@
+"""Core env abstractions: Task base + functional RobotTaskEnv + gym adapter.
+
+TPU-native counterpart of /root/reference/panda_gym/envs/core.py: the same
+composition (one robot + one task -> goal-conditioned dict-obs env,
+core.py:255-414) but as a *pure functional core*:
+
+    state, obs            = env.reset(key)
+    state, obs, r, t, tr, info = env.step(state, action)
+
+Batching is jax.vmap over `state` (and key/action); the GymAdapter at the
+bottom re-exposes the exact gymnasium API (dict observation space, seed
+handling, save/restore snapshots) for single-env compatibility, including
+HER's `compute_reward(achieved, desired, info)` contract (core.py:282).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from panda_gym_tpu.envs.robot import PandaRobot
+from panda_gym_tpu.ops import kinematics as K
+from panda_gym_tpu.sim import engine
+from panda_gym_tpu.sim.state import EnvState, SceneParams
+
+
+class Task:
+    """Base task: scene + goal lifecycle + reward contract (core.py:212-252).
+
+    Subclasses set `scene`, `goal_dim` and override the pure methods; all
+    methods receive the env (for robot/model access) and operate on EnvState.
+    """
+
+    scene: SceneParams
+    goal_dim: int = 3
+    n_obstacles: int = 1          # capacity (>=1 keeps arrays non-empty)
+    past_obs_dim: int = 1
+    robot_contact: bool = False
+    body_pairs: Tuple[Tuple[int, int], ...] = ()
+    check_collision: bool = False
+    moving_obstacles: bool = False
+    terminate_on_success: bool = False
+
+    def reset(self, env: "RobotTaskEnv", state: EnvState, key) -> EnvState:
+        raise NotImplementedError
+
+    def reset_robot(self, env: "RobotTaskEnv", state: EnvState, key) -> EnvState:
+        """Default robot reset: neutral pose (panda.py:290-298)."""
+        q, qd = env.robot.reset_q()
+        return state.replace(q=q, qd=qd, ctrl_target=q)
+
+    def task_obs(self, env, state: EnvState, fk) -> jnp.ndarray:
+        return jnp.zeros(0)
+
+    def achieved_goal(self, env, state: EnvState, fk) -> jnp.ndarray:
+        raise NotImplementedError
+
+    def is_success(self, env, achieved, desired, state: EnvState):
+        raise NotImplementedError
+
+    def is_truncated(self, env, state: EnvState):
+        return jnp.asarray(False)
+
+    def compute_reward(self, env, achieved, desired, state: EnvState, fk):
+        raise NotImplementedError
+
+
+class RobotTaskEnv:
+    """Functional robot+task env (replaces core.py:255-414 RobotTaskEnv)."""
+
+    def __init__(self, robot: PandaRobot, task: Task,
+                 terminate_on_success: Optional[bool] = None,
+                 n_substeps: int = 20):
+        self.robot = robot
+        self.task = task
+        self.model = robot.model
+        self.n_substeps = n_substeps
+        self.terminate_on_success = (
+            task.terminate_on_success if terminate_on_success is None
+            else terminate_on_success)
+        self.physics_step = engine.make_physics_step(
+            robot.model, task.scene,
+            n_substeps=n_substeps,
+            ctrl_mode=robot.ctrl_mode,
+            robot_contact=task.robot_contact,
+            body_pairs=task.body_pairs,
+            check_collision=task.check_collision,
+            moving_obstacles=task.moving_obstacles,
+            has_bodies=task.scene.nb > 0,
+        )
+        # derive dims from a template rollout
+        self._template = self.init_state(jax.random.PRNGKey(0))
+
+    # ------------------------------------------------------------------
+    def init_state(self, key) -> EnvState:
+        m = self.model
+        nb = self.task.scene.nb
+        no = self.task.n_obstacles
+        na = self.robot.action_dim
+        q = jnp.asarray(self.robot.neutral)
+        return EnvState(
+            q=q, qd=jnp.zeros(m.ndof), ctrl_target=q,
+            body_pos=jnp.zeros((nb, 3)),
+            body_quat=jnp.tile(jnp.array([0.0, 0.0, 0.0, 1.0]), (nb, 1)),
+            body_vel=jnp.zeros((nb, 3)), body_ang=jnp.zeros((nb, 3)),
+            obstacle_pos=jnp.full((no, 3), 99.9),
+            obstacle_vel=jnp.zeros((no, 3)),
+            obstacle_size=jnp.full((no, 3), 1e-3),
+            obstacle_type=jnp.zeros((no,), jnp.int32),
+            obstacle_active=jnp.zeros((no,), bool),
+            goal=jnp.zeros(self.task.goal_dim),
+            key=key, steps=jnp.asarray(0, jnp.int32),
+            is_collided=jnp.asarray(False), goal_reached=jnp.asarray(False),
+            prev_action=jnp.zeros(na), recent_action=jnp.zeros(na),
+            action_count=jnp.asarray(0, jnp.int32),
+            cur_jvel=jnp.zeros(7), prev_jvel=jnp.zeros(7),
+            cur_jacc=jnp.zeros(7), prev_jacc=jnp.zeros(7),
+            cur_jerk=jnp.zeros(7),
+            link_obstacle_dist=jnp.full((max(m.ngroup, 1),), 999.0),
+            past_obs=jnp.zeros((3, self.task.past_obs_dim)),
+        )
+
+    # ------------------------------------------------------------------
+    def reset(self, key) -> Tuple[EnvState, Dict[str, jnp.ndarray]]:
+        """Pure reset: sample robot pose + goal + scene (core.py:298-308)."""
+        k_state, k_robot, k_task = jax.random.split(key, 3)
+        state = self.init_state(k_state)
+        state = self.task.reset_robot(self, state, k_robot)
+        state = self.task.reset(self, state, k_task)
+        obs = self._get_obs(state)
+        return state, obs
+
+    def _get_obs(self, state: EnvState) -> Dict[str, jnp.ndarray]:
+        """Dict observation assembly (core.py:286-296)."""
+        fk = K.fk_world(self.model, state.q, state.qd)
+        robot_obs = self.robot.robot_obs(state, fk)
+        task_obs = self.task.task_obs(self, state, fk)
+        achieved = self.task.achieved_goal(self, state, fk)
+        return {
+            "observation": jnp.concatenate([robot_obs, task_obs]).astype(jnp.float32),
+            "achieved_goal": achieved.astype(jnp.float32),
+            "desired_goal": state.goal.astype(jnp.float32),
+        }
+
+    def step(self, state: EnvState, action):
+        """Pure step (core.py:352-368): set_action -> physics -> obs/reward."""
+        state = self.robot.set_action(state, action)
+        state = self.physics_step(state)
+        state = state.replace(steps=state.steps + 1)
+
+        fk = K.fk_world(self.model, state.q, state.qd)
+        obs = self._get_obs(state)
+        achieved = obs["achieved_goal"]
+        desired = obs["desired_goal"]
+        success, state = self._success(achieved, desired, state)
+        terminated = success if self.terminate_on_success else jnp.asarray(False)
+        truncated = jnp.asarray(self.task.is_truncated(self, state), bool)
+        reward = jnp.asarray(
+            self.task.compute_reward(self, achieved, desired, state, fk),
+            jnp.float32)
+        info = {"is_success": success, "is_truncated": truncated}
+        return state, obs, reward, terminated, truncated, info
+
+    def _success(self, achieved, desired, state):
+        out = self.task.is_success(self, achieved, desired, state)
+        if isinstance(out, tuple):
+            success, state = out
+        else:
+            success = out
+        return jnp.asarray(success, bool), state
+
+    # convenience: jitted batched rollout primitives ---------------------
+    def batched_reset(self, keys):
+        return jax.vmap(self.reset)(keys)
+
+    def batched_step(self, states, actions):
+        return jax.vmap(self.step)(states, actions)
+
+
+# ---------------------------------------------------------------------------
+# Gymnasium adapter
+# ---------------------------------------------------------------------------
+
+import gymnasium as _gym
+
+
+class GymAdapter(_gym.Env):
+    """Single-env gymnasium.Env facade over the functional core.
+
+    Preserves the reference env surface: dict observation space with
+    observation/achieved_goal/desired_goal Boxes in [-10, 10] (core.py:
+    274-280), `compute_reward` for HER relabeling (core.py:282), seed-driven
+    reset, and save/restore via state snapshots (core.py:310-336 — here a
+    snapshot is just the EnvState pytree, exact by construction).
+    """
+
+    metadata = {"render_modes": ["rgb_array"]}
+
+    def __init__(self, env: RobotTaskEnv):
+        import gymnasium as gym
+        from gymnasium import spaces
+
+        self.env = env
+        self._jit_reset = jax.jit(env.reset)
+        self._jit_step = jax.jit(env.step)
+        self._state: Optional[EnvState] = None
+        self._np_seed_counter = 0
+
+        state, obs = self._jit_reset(jax.random.PRNGKey(0))
+        self._state = state
+        self.observation_space = spaces.Dict(
+            dict(
+                observation=spaces.Box(-10.0, 10.0, shape=obs["observation"].shape, dtype=np.float32),
+                desired_goal=spaces.Box(-10.0, 10.0, shape=obs["desired_goal"].shape, dtype=np.float32),
+                achieved_goal=spaces.Box(-10.0, 10.0, shape=obs["achieved_goal"].shape, dtype=np.float32),
+            )
+        )
+        self.action_space = spaces.Box(
+            -1.0, 1.0, shape=(env.robot.action_dim,), dtype=np.float32)
+        self._saved_states: Dict[int, EnvState] = {}
+        self._next_state_id = 0
+
+    # -- gymnasium API ---------------------------------------------------
+    def reset(self, seed: Optional[int] = None, options=None):
+        if seed is None:
+            self._np_seed_counter += 1
+            seed = np.random.SeedSequence().entropy % (2**31) + self._np_seed_counter
+        key = jax.random.PRNGKey(int(seed))
+        state, obs = self._jit_reset(key)
+        self._state = state
+        info = {"is_success": bool(np.asarray(
+            self.env.task.is_success(self.env, obs["achieved_goal"],
+                                     obs["desired_goal"], state)[0]
+            if isinstance(self.env.task.is_success(self.env, obs["achieved_goal"],
+                                                   obs["desired_goal"], state), tuple)
+            else self.env.task.is_success(self.env, obs["achieved_goal"],
+                                          obs["desired_goal"], state)))}
+        return {k: np.asarray(v) for k, v in obs.items()}, info
+
+    def step(self, action):
+        state, obs, reward, terminated, truncated, info = self._jit_step(
+            self._state, jnp.asarray(action, jnp.float32))
+        self._state = state
+        return (
+            {k: np.asarray(v) for k, v in obs.items()},
+            float(reward),
+            bool(terminated),
+            bool(truncated),
+            {k: bool(np.asarray(v)) for k, v in info.items()},
+        )
+
+    def compute_reward(self, achieved_goal, desired_goal, info) -> np.ndarray:
+        """Vectorized HER relabeling hook (core.py:282 contract)."""
+        a = jnp.asarray(achieved_goal)
+        d = jnp.asarray(desired_goal)
+        fk = None
+        r = self.env.task.compute_reward(self.env, a, d, self._state, fk)
+        return np.asarray(r)
+
+    # -- state snapshots (core.py:310-336) -------------------------------
+    def save_state(self) -> int:
+        sid = self._next_state_id
+        self._next_state_id += 1
+        self._saved_states[sid] = self._state
+        return sid
+
+    def restore_state(self, state_id: int) -> None:
+        self._state = self._saved_states[state_id]
+
+    def remove_state(self, state_id: int) -> None:
+        del self._saved_states[state_id]
+
+    def close(self):
+        pass
+
+    @property
+    def unwrapped(self):
+        return self
+
+    # task/robot passthroughs used by training/eval code
+    @property
+    def robot(self):
+        return self.env.robot
+
+    @property
+    def task(self):
+        return self.env.task
+
+    @property
+    def state(self) -> EnvState:
+        return self._state

@@ -1,0 +1,170 @@
+"""Panda robot layer: action pipeline, robot observations, reset.
+
+Pure-functional re-implementation of the reference Panda robot class
+(/root/reference/panda_gym/envs/robots/panda.py): control modes "ee"
+(IK-resolved end-effector displacement), "js" (joint position deltas), "jsd"
+(joint velocity), "pcc" (teleport); "clip"/"scale" action limiters; obs modes
+"ee"/"js"; finger handling; velocity/acceleration/jerk bookkeeping
+(panda.py:120-175, 264-288).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from panda_gym_tpu.models import panda_constants as pc
+from panda_gym_tpu.models.panda import EE_SITE, make_panda_model
+from panda_gym_tpu.ops import dynamics as D
+from panda_gym_tpu.ops import kinematics as K
+from panda_gym_tpu.sim.state import EnvState
+
+# IK orientation target for "ee" control: (1,0,0,0) xyzw = gripper pointing
+# down (panda.py:242-244).
+EE_DOWN_QUAT = np.array([1.0, 0.0, 0.0, 0.0], dtype=np.float32)
+
+
+@dataclass
+class PandaConfig:
+    block_gripper: bool = False
+    control_type: str = "js"           # panda.py:36 default
+    obs_type: Tuple[str, ...] = ("ee",)
+    action_limiter: str = "clip"       # panda.py:39
+    base_position: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    gripper: str = "auto"              # auto: welded if blocked else prismatic
+    max_change_position: float = 0.05  # panda.py:74
+    finger_change: float = 0.2         # panda.py:151
+    neutral: Tuple[float, ...] = tuple(pc.NEUTRAL_JOINT_VALUES[:7])
+
+
+class PandaRobot:
+    """Owns the ChainModel + static config; all methods are pure."""
+
+    def __init__(self, config: PandaConfig):
+        self.config = config
+        gripper = config.gripper
+        if gripper == "auto":
+            gripper = "welded" if config.block_gripper else "prismatic"
+        self.gripper = gripper
+        self.model = make_panda_model(base_position=config.base_position,
+                                      gripper=gripper)
+        self.ndof = self.model.ndof
+        self.n_arm = 7
+        self.ee_site = EE_SITE
+        # action dim: 3 (ee) or 7 (joints) + 1 finger channel if not blocked
+        # (panda.py:47-48)
+        n = 3 if config.control_type == "ee" else 7
+        self.action_dim = n + (0 if config.block_gripper else 1)
+        self.ctrl_mode = (D.CTRL_VELOCITY if config.control_type == "jsd"
+                          else D.CTRL_POSITION)
+        self.neutral = np.zeros(self.ndof, dtype=np.float32)
+        self.neutral[:7] = np.asarray(config.neutral, dtype=np.float32)
+
+    # ------------------------------------------------------------------ obs
+    def ee_position(self, fk):
+        return K.site_com_position(self.model, fk, self.ee_site)
+
+    def ee_velocity(self, fk):
+        return K.site_com_velocity(self.model, fk, self.ee_site)
+
+    def fingers_width(self, state: EnvState):
+        """finger1 + finger2 joint positions (panda.py:300-304); identically
+        0 for the welded gripper, like the reference's fixed-joint reads."""
+        if self.ndof > 7:
+            return state.q[7] + state.q[8]
+        return jnp.asarray(0.0)
+
+    def robot_obs(self, state: EnvState, fk):
+        """panda.py:264-288 get_obs."""
+        parts = []
+        if "ee" in self.config.obs_type:
+            parts += [self.ee_position(fk), self.ee_velocity(fk)]
+        if "js" in self.config.obs_type:
+            parts += [state.q[:7], state.qd[:7]]
+        if not self.config.block_gripper:
+            parts.append(self.fingers_width(state)[None])
+        return jnp.concatenate(parts)
+
+    # --------------------------------------------------------------- action
+    def _limit_action(self, action):
+        if self.config.action_limiter == "scale":
+            # scale down if any |a| > 1 (panda.py:129-133)
+            mx = jnp.max(jnp.abs(action))
+            return jnp.where(mx > 1.0, action / mx, action)
+        return jnp.clip(action, -1.0, 1.0)  # panda.py:134-135
+
+    def set_action(self, state: EnvState, action) -> EnvState:
+        """Compute motor targets + bookkeeping (panda.py:120-175).
+
+        Must be called before the physics step, exactly like the reference's
+        robot.set_action -> sim.step() ordering (core.py:352-354).
+        """
+        cfg = self.config
+        action = self._limit_action(jnp.asarray(action))
+
+        fk = K.fk_world(self.model, state.q, state.qd)
+
+        if cfg.control_type == "ee":
+            disp = action[:3] * cfg.max_change_position  # panda.py:235
+            target_ee = self.ee_position(fk) + disp
+            target_ee = target_ee.at[2].set(jnp.maximum(0.0, target_ee[2]))  # :240
+            q_arm = K.dls_ik(
+                self.model, self.ee_site, target_ee,
+                target_quat=jnp.asarray(EE_DOWN_QUAT),
+                q0=state.q, n_iters=10)[:7]
+        else:
+            q_arm = state.q[:7] + action[:7] * cfg.max_change_position  # :257-261
+
+        if self.ndof > 7:
+            if cfg.block_gripper:
+                finger_t = jnp.zeros(2)
+            else:
+                width = self.fingers_width(state)
+                target_w = width + action[-1] * cfg.finger_change  # :151-153
+                finger_t = jnp.full(2, target_w / 2.0)             # :164
+            target = jnp.concatenate([q_arm, finger_t])
+        else:
+            target = q_arm
+
+        if cfg.control_type == "jsd":
+            # velocity control: targets are the action itself (panda.py:155-158)
+            vel_t = action[:7]
+            if self.ndof > 7:
+                vel_t = jnp.concatenate([vel_t, jnp.zeros(2)])
+            ctrl_target = vel_t
+            q, qd = state.q, state.qd
+        elif cfg.control_type == "pcc":
+            # teleport (panda.py:159-162): resetJointState zeroes velocity
+            q = jnp.clip(target, self.model.q_lo, self.model.q_hi)
+            qd = jnp.zeros_like(state.qd)
+            ctrl_target = q
+        else:
+            ctrl_target = target
+            q, qd = state.q, state.qd
+
+        # velocity/acceleration/jerk bookkeeping, recorded pre-step with the
+        # reference's exact (sign-flipped) finite differences (panda.py:167-172)
+        prev_jvel = state.cur_jvel
+        prev_jacc = state.cur_jacc
+        cur_jvel = state.qd[:7]
+        cur_jacc = prev_jvel - cur_jvel
+        cur_jerk = jnp.abs(prev_jacc - cur_jacc)
+
+        na = self.action_dim
+        return state.replace(
+            q=q, qd=qd, ctrl_target=ctrl_target,
+            prev_action=state.recent_action,
+            recent_action=action[:na],
+            action_count=state.action_count + 1,
+            prev_jvel=prev_jvel, cur_jvel=cur_jvel,
+            prev_jacc=prev_jacc, cur_jacc=cur_jacc, cur_jerk=cur_jerk,
+        )
+
+    # ---------------------------------------------------------------- reset
+    def reset_q(self):
+        return jnp.asarray(self.neutral), jnp.zeros(self.ndof)
+
+    def manipulability(self, q):
+        return K.manipulability(self.model, self.ee_site, q)

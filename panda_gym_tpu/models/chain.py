@@ -82,6 +82,8 @@ class ChainModel:
     ngroup: int = struct.field(pytree_node=False, default=0)
     parent_tuple: Tuple[int, ...] = struct.field(pytree_node=False, default=())
     site_body_tuple: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    cap_body_tuple: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    cap_group_tuple: Tuple[int, ...] = struct.field(pytree_node=False, default=())
     jtype_tuple: Tuple[int, ...] = struct.field(pytree_node=False, default=())
     link_names: Tuple[str, ...] = struct.field(pytree_node=False, default=())
     group_names: Tuple[str, ...] = struct.field(pytree_node=False, default=())
@@ -217,6 +219,8 @@ def build_chain(
         ndof=ndof, nsite=len(site_names), ngroup=len(groups),
         parent_tuple=tuple(int(x) for x in parent),
         site_body_tuple=tuple(int(x) for x in site_body),
+        cap_body_tuple=tuple(int(x) for x in cap_body),
+        cap_group_tuple=tuple(int(x) for x in cap_g),
         jtype_tuple=tuple(int(x) for x in jtype),
         link_names=tuple(site_names), group_names=tuple(groups),
     )

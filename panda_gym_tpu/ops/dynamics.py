@@ -224,6 +224,7 @@ def motor_substep(
     control_mode: int,
     gravity=(0.0, 0.0, -9.81),
     position_gain: float = POSITION_GAIN,
+    tau_ext=None,
 ):
     """One semi-implicit Euler substep of the motor-driven chain.
 
@@ -244,12 +245,15 @@ def motor_substep(
     qdd_des = (v_des - qd) / dt
     bias = bias_force(model, q, qd, gravity)
     M = crba(model, q)
-    tau = M @ qdd_des + bias
+    if tau_ext is None:
+        tau_ext = jnp.zeros_like(q)
+    # the servo compensates external forces it can measure (constraint motor)
+    tau = M @ qdd_des + bias - tau_ext
     tau_c = jnp.clip(tau, -model.effort, model.effort)
 
-    # qdd = M^{-1} (tau_c - bias); equals qdd_des when no clamp is active.
+    # qdd = M^{-1} (tau_c + tau_ext - bias); equals qdd_des without clamping.
     L = jnp.linalg.cholesky(M + 1e-9 * jnp.eye(model.ndof))
-    y = jax.scipy.linalg.solve_triangular(L, tau_c - bias, lower=True)
+    y = jax.scipy.linalg.solve_triangular(L, tau_c + tau_ext - bias, lower=True)
     qdd = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
 
     qd_new = qd + qdd * dt
