@@ -1,0 +1,66 @@
+"""Benchmark: batched env throughput on the current JAX backend.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Headline metric: aggregate env-steps/s for PandaReach with 4096 vmapped envs
+on one chip (BASELINE.json target: >=1M steps/s aggregate on a v5e-8, i.e.
+125k steps/s per chip; vs_baseline = value / 125_000).
+
+The reference sustains ~42 env-steps/s (300k steps in ~2 h with 8
+SubprocVecEnv workers, README.md:6) — reported as secondary context.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+PER_CHIP_TARGET = 125_000.0  # BASELINE.json north star / 8 chips
+
+
+def bench_env_steps(batch: int = 4096, iters: int = 30, task: str = "reach"):
+    from panda_gym_tpu.envs.panda_tasks import make_core
+
+    core = make_core(task)
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    reset_fn = jax.jit(jax.vmap(core.reset))
+    states, _ = reset_fn(keys)
+
+    @jax.jit
+    def rollout_step(states, key):
+        key, sub = jax.random.split(key)
+        actions = jax.random.uniform(
+            sub, (batch, core.robot.action_dim), minval=-1.0, maxval=1.0)
+        states, obs, reward, term, trunc, info = jax.vmap(core.step)(states, actions)
+        return states, key, reward
+
+    key = jax.random.PRNGKey(1)
+    # warmup / compile
+    states, key, reward = rollout_step(states, key)
+    jax.block_until_ready(reward)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        states, key, reward = rollout_step(states, key)
+    jax.block_until_ready(reward)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    sps = bench_env_steps(batch=batch, iters=iters)
+    print(json.dumps({
+        "metric": "env_steps_per_sec_per_chip_reach4096",
+        "value": round(sps, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(sps / PER_CHIP_TARGET, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -63,7 +63,20 @@ class Task:
     def is_truncated(self, env, state: EnvState):
         return jnp.asarray(False)
 
+    def pre_obs(self, env, state: EnvState, fk) -> EnvState:
+        """Optional state refresh before observation assembly (e.g. ReachAO's
+        per-link distance / past-observation bookkeeping)."""
+        return state
+
     def compute_reward(self, env, achieved, desired, state: EnvState, fk):
+        raise NotImplementedError
+
+    # HER support: rewards decomposed into (achieved, desired, aux) with aux
+    # capturing every state-dependent term, so relabeled rewards are exact.
+    def reward_aux(self, env, state: EnvState) -> jnp.ndarray:
+        return jnp.zeros(0)
+
+    def reward_from_aux(self, env, achieved, desired, aux):
         raise NotImplementedError
 
 
@@ -129,6 +142,8 @@ class RobotTaskEnv:
         state = self.init_state(k_state)
         state = self.task.reset_robot(self, state, k_robot)
         state = self.task.reset(self, state, k_task)
+        fk = K.fk_world(self.model, state.q, state.qd)
+        state = self.task.pre_obs(self, state, fk)
         obs = self._get_obs(state)
         return state, obs
 
@@ -151,6 +166,7 @@ class RobotTaskEnv:
         state = state.replace(steps=state.steps + 1)
 
         fk = K.fk_world(self.model, state.q, state.qd)
+        state = self.task.pre_obs(self, state, fk)
         obs = self._get_obs(state)
         achieved = obs["achieved_goal"]
         desired = obs["desired_goal"]

@@ -32,6 +32,9 @@ class _GoalTask(Task):
         return d < self.distance_threshold
 
     def compute_reward(self, env, achieved, desired, state, fk):
+        return self.reward_from_aux(env, achieved, desired, jnp.zeros(0))
+
+    def reward_from_aux(self, env, achieved, desired, aux):
         d = distance(achieved, desired)
         if self.reward_type == "sparse":
             return -(d > self.distance_threshold).astype(jnp.float32)
@@ -305,6 +308,9 @@ class Flip(_GoalTask):
         return angle_distance(achieved, desired) < self.distance_threshold
 
     def compute_reward(self, env, achieved, desired, state, fk):
+        return self.reward_from_aux(env, achieved, desired, jnp.zeros(0))
+
+    def reward_from_aux(self, env, achieved, desired, aux):
         d = angle_distance(achieved, desired)
         if self.reward_type == "sparse":
             return -(d > self.distance_threshold).astype(jnp.float32)

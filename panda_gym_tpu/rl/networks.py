@@ -1,0 +1,108 @@
+"""Flax policy/critic networks for the off-policy learners.
+
+Replaces the SB3 torch policies the reference trains
+(MultiInputPolicy with net_arch=[256,256], hyperparameters.py:20;
+TQC quantile critics from sb3_contrib).  Dict observations are flattened by
+concatenating observation/achieved_goal/desired_goal, matching SB3's
+MultiInputPolicy CombinedExtractor.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+LOG_STD_MIN = -20.0
+LOG_STD_MAX = 2.0
+
+
+def flatten_obs(obs: dict) -> jnp.ndarray:
+    """Concat dict obs in SB3 CombinedExtractor key order (sorted)."""
+    return jnp.concatenate(
+        [obs[k] for k in ("achieved_goal", "desired_goal", "observation")],
+        axis=-1)
+
+
+class MLP(nn.Module):
+    hidden: Sequence[int]
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        for h in self.hidden:
+            x = nn.relu(nn.Dense(h)(x))
+        return nn.Dense(self.out_dim)(x)
+
+
+class SquashedGaussianActor(nn.Module):
+    """tanh-Normal actor (SAC/TQC policy head)."""
+
+    action_dim: int
+    hidden: Sequence[int] = (256, 256)
+    log_std_init: float = -3.0
+
+    @nn.compact
+    def __call__(self, x):
+        for h in self.hidden:
+            x = nn.relu(nn.Dense(h)(x))
+        mean = nn.Dense(self.action_dim)(x)
+        log_std = nn.Dense(
+            self.action_dim,
+            bias_init=nn.initializers.constant(self.log_std_init))(x)
+        log_std = jnp.clip(log_std, LOG_STD_MIN, LOG_STD_MAX)
+        return mean, log_std
+
+
+def sample_squashed(mean, log_std, key):
+    """Sample tanh-squashed action + log prob."""
+    std = jnp.exp(log_std)
+    eps = jax.random.normal(key, mean.shape)
+    pre = mean + std * eps
+    a = jnp.tanh(pre)
+    logp = -0.5 * (eps ** 2 + 2 * log_std + jnp.log(2 * jnp.pi))
+    logp = jnp.sum(logp, axis=-1)
+    # tanh correction
+    logp -= jnp.sum(2.0 * (jnp.log(2.0) - pre - jax.nn.softplus(-2.0 * pre)),
+                    axis=-1)
+    return a, logp
+
+
+def deterministic_action(mean):
+    return jnp.tanh(mean)
+
+
+class DeterministicActor(nn.Module):
+    """tanh deterministic actor (TD3/DDPG)."""
+
+    action_dim: int
+    hidden: Sequence[int] = (256, 256)
+
+    @nn.compact
+    def __call__(self, x):
+        for h in self.hidden:
+            x = nn.relu(nn.Dense(h)(x))
+        return jnp.tanh(nn.Dense(self.action_dim)(x))
+
+
+class QCritic(nn.Module):
+    """Ensemble of n_critics Q(s,a) heads; out_dim=1 (SAC) or n_quantiles
+    (TQC).  Ensemble via nn.vmap over parameter axis."""
+
+    hidden: Sequence[int] = (256, 256)
+    out_dim: int = 1
+    n_critics: int = 2
+
+    @nn.compact
+    def __call__(self, obs, act):
+        x = jnp.concatenate([obs, act], axis=-1)
+        vmapped = nn.vmap(
+            MLP,
+            in_axes=None, out_axes=0,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            axis_size=self.n_critics,
+        )
+        return vmapped(hidden=self.hidden, out_dim=self.out_dim)(x)
+        # shape: (n_critics, batch, out_dim)

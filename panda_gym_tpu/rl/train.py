@@ -1,0 +1,307 @@
+"""Curriculum training pipeline: vectorized collector + staged driver.
+
+Replaces the reference's training/ package (setup_training.py:182-307 learn /
+train_model, the SB3 model.learn loop, and the missing sb3_extensions
+callbacks — StopTrainingOnSuccessThreshold / EvalSuccessCallback /
+RecordCustomMetricsCallback, setup_training.py:16-17) with a TPU-native
+loop:
+
+  * N envs stepped in lockstep under jit(vmap(step)) — the SubprocVecEnv
+    replacement (setup_training.py:44-47), no processes or pipes;
+  * synchronous episode collection: each rollout runs one episode batch of
+    max_ep_steps steps per env (post-termination steps frozen), writes the
+    episodes into the on-device HER buffer, then runs gradient updates;
+  * curriculum stages advance when the deterministic-eval success rate
+    reaches the stage threshold (setup_training.py:233-307).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from panda_gym_tpu.envs.core import RobotTaskEnv
+from panda_gym_tpu.rl import her
+from panda_gym_tpu.rl.config import TrainConfig
+from panda_gym_tpu.rl.learners import make_learner
+
+# ---------------------------------------------------------------------------
+
+
+def flat_x(obs):
+    return jnp.concatenate(
+        [obs["achieved_goal"], obs["desired_goal"], obs["observation"]], axis=-1)
+
+
+class VectorEnv:
+    """Batched functional env with jit-compiled episode rollouts."""
+
+    def __init__(self, core: RobotTaskEnv, n_envs: int, horizon: int):
+        self.core = core
+        self.n_envs = n_envs
+        self.horizon = horizon
+        probe_state, probe_obs = core.reset(jax.random.PRNGKey(0))
+        self.obs_dim = probe_obs["observation"].shape[0]
+        self.goal_dim = probe_obs["achieved_goal"].shape[0]
+        self.act_dim = core.robot.action_dim
+        self.x_dim = self.obs_dim + 2 * self.goal_dim
+
+    def batch_reset(self, key):
+        keys = jax.random.split(key, self.n_envs)
+        return jax.vmap(self.core.reset)(keys)
+
+    def rollout_episode(self, learner, ts, key, deterministic=False):
+        """One synchronous episode batch of `horizon` steps.
+
+        Returns stacked episode tensors shaped for HerBuffer plus episode
+        stats.  Post-termination steps are frozen (no further state change,
+        no further writes).
+        """
+        core = self.core
+        T = self.horizon
+
+        def step_fn(carry, t):
+            states, obs, done, ep_len, key = carry
+            key, k_act, k_step = jax.random.split(key, 3)
+            x = flat_x(obs)
+            if deterministic:
+                action = learner.act(ts, x, k_act, deterministic=True)
+            else:
+                action = learner.act(ts, x, k_act)
+            nstates, nobs, reward, term, trunc, info = jax.vmap(core.step)(
+                states, action)
+            step_done = term | trunc
+            # freeze finished envs
+            keep = lambda old, new: jnp.where(
+                done.reshape((-1,) + (1,) * (new.ndim - 1)), old, new)
+            states = jax.tree_util.tree_map(keep, states, nstates)
+            obs = jax.tree_util.tree_map(keep, obs, nobs)
+            reward = jnp.where(done, 0.0, reward)
+            aux = jax.vmap(lambda s: core.task.reward_aux(core, s))(states)
+            ep_len = ep_len + (~done).astype(jnp.int32)
+            new_done = done | step_done
+            out = dict(obs=obs["observation"], achieved=obs["achieved_goal"],
+                       action=action, aux=aux, reward=reward,
+                       terminated=jnp.where(done, False, term),
+                       success=info["is_success"], collided=info["is_truncated"],
+                       active=~done)
+            return (states, obs, new_done, ep_len, key), out
+
+        key, k_reset = jax.random.split(key)
+        states, obs0 = self.batch_reset(k_reset)
+        done0 = jnp.zeros(self.n_envs, bool)
+        ep_len0 = jnp.zeros(self.n_envs, jnp.int32)
+        (states, obs_f, done, ep_len, key), traj = jax.lax.scan(
+            step_fn, (states, obs0, done0, ep_len0, key), jnp.arange(T))
+
+        # episode tensors: (N, T+1, ...) observations incl. the initial one
+        obs_seq = jnp.concatenate(
+            [obs0["observation"][:, None], jnp.swapaxes(traj["obs"], 0, 1)], axis=1)
+        ach_seq = jnp.concatenate(
+            [obs0["achieved_goal"][:, None], jnp.swapaxes(traj["achieved"], 0, 1)],
+            axis=1)
+        episodes = dict(
+            obs=obs_seq, achieved=ach_seq, desired=obs0["desired_goal"],
+            action=jnp.swapaxes(traj["action"], 0, 1),
+            aux=jnp.swapaxes(traj["aux"], 0, 1),
+            ep_len=ep_len,
+            terminated=jnp.swapaxes(traj["terminated"], 0, 1))
+        stats = dict(
+            success=jnp.any(traj["success"], axis=0).astype(jnp.float32),
+            collided=jnp.any(traj["collided"], axis=0).astype(jnp.float32),
+            ep_reward=jnp.sum(jnp.swapaxes(traj["reward"], 0, 1), axis=1),
+            ep_len=ep_len.astype(jnp.float32))
+        return episodes, stats, key
+
+
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TrainerMetrics:
+    history: List[Dict] = field(default_factory=list)
+
+    def log(self, row: Dict):
+        self.history.append(row)
+
+
+class Trainer:
+    """learn()/train_model() equivalent (setup_training.py:182-307)."""
+
+    def __init__(self, config: TrainConfig,
+                 make_env: Callable[[str, float, float], RobotTaskEnv],
+                 logger=None):
+        self.config = config
+        self.make_env = make_env
+        self.logger = logger
+        self.metrics = TrainerMetrics()
+        self.learner = None
+        self.ts = None
+        self.buffer = None
+        self.timesteps = 0
+
+    # -------------------------------------------------------------- stages
+    def learn(self, seed: Optional[int] = None):
+        cfg = self.config
+        key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
+        n_stages = len(cfg.stages)
+        for i, stage in enumerate(cfg.stages):
+            ee_thr = cfg.ee_error_thresholds[i]
+            sp_thr = cfg.speed_thresholds[i] if cfg.goal_condition == "halt" else 0.5
+            horizon = cfg.max_ep_steps[min(i, len(cfg.max_ep_steps) - 1)]
+            succ_thr = cfg.success_thresholds[i]
+            key, k = jax.random.split(key)
+            reached = self.train_stage(stage, horizon, ee_thr, sp_thr,
+                                       succ_thr, k,
+                                       final=(i == n_stages - 1))
+            print(f"[stage {stage}] done (threshold reached: {reached}); "
+                  f"timesteps so far: {self.timesteps}")
+        return self.ts
+
+    def _ensure_learner(self, venv: VectorEnv, key):
+        cfg = self.config
+        if self.learner is None:
+            self.learner = make_learner(cfg.algorithm, venv.x_dim,
+                                        venv.act_dim, cfg.hyperparams)
+            self.ts = self.learner.init(key)
+        if self.buffer is None or self.buffer.ep_horizon < venv.horizon:
+            cap_eps = max(getattr(cfg.hyperparams, "buffer_size", 300_000)
+                          // max(venv.horizon, 1), venv.n_envs)
+            aux_dim = int(np.asarray(
+                venv.core.task.reward_aux(venv.core, venv.core._template)).shape[0])
+            self.buffer = her.create(cap_eps, venv.horizon, venv.obs_dim,
+                                     venv.goal_dim, venv.act_dim, aux_dim)
+
+    def train_stage(self, scenario: str, horizon: int, ee_thr: float,
+                    sp_thr: float, success_threshold: float, key,
+                    final: bool = False) -> bool:
+        cfg = self.config
+        core = self.make_env(scenario, ee_thr, sp_thr)
+        venv = VectorEnv(core, cfg.n_envs, horizon)
+        key, k_init = jax.random.split(key)
+        self._ensure_learner(venv, k_init)
+        learner = self.learner
+        hp = cfg.hyperparams
+        batch_size = getattr(hp, "batch_size", 256)
+        # updates per rollout ~ SB3's train_freq/gradient_steps cadence
+        updates_per_rollout = max(
+            horizon * getattr(hp, "gradient_steps", 8)
+            // max(getattr(hp, "train_freq", 8), 1), 1)
+
+        reward_fn = self._reward_fn(core)
+
+        @jax.jit
+        def collect(ts, buf, key):
+            episodes, stats, key = venv.rollout_episode(learner, ts, key)
+            buf = her.add_episodes(buf, **episodes)
+            return buf, stats, key
+
+        @partial(jax.jit, static_argnums=())
+        def update_many(ts, buf, key):
+            def body(carry, _):
+                ts, key = carry
+                key, k_s, k_u = jax.random.split(key, 3)
+                batch = her.sample(buf, k_s, batch_size, reward_fn)
+                x = jnp.concatenate([batch["achieved"], batch["goal"],
+                                     batch["obs"]], axis=-1)
+                x2 = jnp.concatenate([batch["achieved_next"], batch["goal"],
+                                      batch["next_obs"]], axis=-1)
+                b = dict(x=x, x2=x2, action=batch["action"],
+                         reward=batch["reward"],
+                         terminated=batch["terminated"].astype(jnp.float32))
+                ts, m = learner.update(ts, b, k_u)
+                return (ts, key), m
+            (ts, key), ms = jax.lax.scan(body, (ts, key), None,
+                                         length=updates_per_rollout)
+            return ts, key, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+        stage_steps = 0
+        learning_started = False
+        t_start = time.time()
+        while stage_steps < cfg.max_timesteps:
+            key, k_c = jax.random.split(key)
+            self.buffer, stats, _ = collect(self.ts, self.buffer, k_c)
+            rollout_steps = int(jnp.sum(stats["ep_len"]))
+            stage_steps += rollout_steps
+            self.timesteps += rollout_steps
+
+            if (not learning_started
+                    and stage_steps >= min(cfg.learning_starts,
+                                           cfg.max_timesteps // 4)):
+                learning_started = True
+            m = {}
+            if learning_started:
+                key, k_u = jax.random.split(key)
+                self.ts, key, m = update_many(self.ts, self.buffer, k_u)
+                m = {k: float(v) for k, v in m.items()}
+
+            row = dict(
+                scenario=scenario, timesteps=self.timesteps,
+                stage_steps=stage_steps,
+                rollout_success=float(jnp.mean(stats["success"])),
+                rollout_collided=float(jnp.mean(stats["collided"])),
+                rollout_reward=float(jnp.mean(stats["ep_reward"])),
+                sps=self.timesteps / max(time.time() - t_start, 1e-9),
+                **m)
+            self.metrics.log(row)
+            if self.logger is not None:
+                self.logger.log(row)
+
+            # eval + stop-on-success-threshold (EvalSuccessCallback /
+            # StopTrainingOnSuccessThreshold equivalents)
+            if learning_started and stage_steps % max(cfg.eval_freq, 1) < rollout_steps:
+                key, k_e = jax.random.split(key)
+                sr = self.evaluate(venv, k_e,
+                                   n_episodes=cfg.n_eval_episodes)
+                self.metrics.log(dict(scenario=scenario, eval_success=sr,
+                                      timesteps=self.timesteps))
+                if self.logger is not None:
+                    self.logger.log(dict(eval_success=sr, timesteps=self.timesteps))
+                if sr >= success_threshold and not final:
+                    return True
+        return False
+
+    def _reward_fn(self, core):
+        task = core.task
+
+        def fn(achieved_next, goal, aux):
+            return jax.vmap(lambda a, g, x: task.reward_from_aux(core, a, g, x))(
+                achieved_next, goal, aux)
+        return fn
+
+    # ------------------------------------------------------------- eval
+    def evaluate(self, venv: VectorEnv, key, n_episodes: int = 100) -> float:
+        learner = self.learner
+        rounds = max(1, int(np.ceil(n_episodes / venv.n_envs)))
+
+        @jax.jit
+        def eval_round(ts, key):
+            episodes, stats, key = venv.rollout_episode(
+                learner, ts, key, deterministic=True)
+            return stats["success"], key
+
+        succ = []
+        for _ in range(rounds):
+            key, k = jax.random.split(key)
+            s, _ = eval_round(self.ts, k)
+            succ.append(np.asarray(s))
+        return float(np.mean(np.concatenate(succ)[:n_episodes]))
+
+    # ------------------------------------------------------------- ckpt
+    def save(self, path: str):
+        import pickle
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump(jax.device_get(self.ts), f)
+
+    def load(self, path: str):
+        import pickle
+        with open(path, "rb") as f:
+            self.ts = pickle.load(f)

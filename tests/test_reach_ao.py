@@ -1,0 +1,127 @@
+"""ReachAO: scenario registry, observation modes, collision semantics."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from panda_gym_tpu.envs.tasks import reach_ao as rao
+from panda_gym_tpu.rl.config import TrainConfig
+
+ALL_SCENARIOS = [
+    "reach1", "reach2", "reach3", "reachao1", "reachao2", "reachao3",
+    "reachao_rand", "reachao_rand_start", "reachao_rand_shape",
+    "wall", "showcase", "wang-3", "wangexp-3", "wangexp_3",
+    "narrow_tunnel", "tunnel", "library", "library1", "library2",
+    "workshop", "workshop2", "workshop3", "industrial", "kasys",
+    "warehouse", "countertop", "kitchen", "raised_shelves",
+    "tabletop", "tabletop2", "bookshelves",
+]
+
+
+def test_scenario_registry_complete():
+    """Every scenario name in the reference's dispatch table
+    (reach_ao.py:229-260) must resolve."""
+    for name in ALL_SCENARIOS:
+        spec = rao.get_scenario(name)
+        assert spec is not None
+
+
+def test_unknown_scenario_raises():
+    with pytest.raises(ValueError):
+        rao.get_scenario("nope")
+
+
+@pytest.mark.parametrize("scenario", ["reachao1", "reachao_rand_shape", "tunnel"])
+def test_reach_ao_rollout(scenario):
+    env = rao.PandaReachAOEnv(scenario=scenario)
+    obs, _ = env.reset(seed=0)
+    assert obs["observation"].shape == (56,)  # 20 robot + 9 dist + 27 vectors
+    for _ in range(10):
+        obs, r, term, trunc, info = env.step(env.action_space.sample())
+        assert np.isfinite(r)
+        if term or trunc:
+            obs, _ = env.reset()
+    env.close()
+
+
+def test_obs_modes_dims():
+    dims = {"closest_per_link": 29, "closest": 21, "vectors": 47,
+            "vectors+past": 101, "vectors+closest_per_link": 56}
+    for mode, dim in dims.items():
+        cfg = TrainConfig()
+        cfg.task_observations = {"obstacles": mode, "prior": None}
+        env = rao.PandaReachAOEnv(scenario="reachao1", config=cfg)
+        obs, _ = env.reset(seed=1)
+        assert obs["observation"].shape == (dim,), (mode, obs["observation"].shape)
+        obs2, *_ = env.step(np.zeros(7, np.float32))
+        assert obs2["observation"].shape == (dim,)
+        env.close()
+
+
+def test_collision_truncates_episode():
+    """An obstacle placed on top of the arm must set is_collided and truncate
+    (reach_ao.py:182-198 per-substep check, :1263-1264 truncation)."""
+    env = rao.PandaReachAOEnv(scenario="reachao1")
+    obs, _ = env.reset(seed=0)
+    st = env.state
+    # teleport the sphere onto link4's position
+    import panda_gym_tpu.ops.kinematics as K
+    fk = K.fk_world(env.robot.model, st.q)
+    p = K.site_com_position(env.robot.model, fk, 3)
+    st = st.replace(obstacle_pos=st.obstacle_pos.at[0].set(p))
+    env._state = st
+    obs, r, term, trunc, info = env.step(np.zeros(7, np.float32))
+    assert trunc
+    assert info["is_truncated"]
+    # collision reward applied (sparse + truncate_on_collision)
+    assert r <= -100.0
+    env.close()
+
+
+def test_goal_samples_collision_free():
+    """Sampled goals keep a margin from the table (z >= 0) over many resets."""
+    env = rao.PandaReachAOEnv(scenario="reachao3")
+    for seed in range(8):
+        obs, _ = env.reset(seed=seed)
+        g = obs["desired_goal"]
+        assert g[2] > 0.0, g
+    env.close()
+
+
+def test_obstacles_not_on_goal():
+    env = rao.PandaReachAOEnv(scenario="reachao3")
+    for seed in range(5):
+        obs, _ = env.reset(seed=seed)
+        st = env.state
+        d = np.linalg.norm(np.asarray(st.obstacle_pos[:3]) - np.asarray(st.goal), axis=-1)
+        assert (d > 0.05).all(), d
+    env.close()
+
+
+def test_random_num_obs_teleports_far():
+    env = rao.PandaReachAOEnv(scenario="reachao_rand")
+    counts = set()
+    for seed in range(6):
+        env.reset(seed=seed)
+        pos = np.asarray(env.state.obstacle_pos[:6])
+        near = (np.linalg.norm(pos, axis=-1) < 5).sum()
+        counts.add(int(near))
+    assert counts <= {4, 5}, counts  # sample_size_obs (4, 6) exclusive high
+    assert len(counts) >= 1
+
+
+def test_halt_goal_condition_latches():
+    cfg = TrainConfig()
+    cfg.goal_condition = "halt"
+    env = rao.PandaReachAOEnv(scenario="reachao1", config=cfg)
+    env.reset(seed=0)
+    st = env.state
+    # force goal at the EE -> reached with ~zero speed
+    import panda_gym_tpu.ops.kinematics as K
+    fk = K.fk_world(env.robot.model, st.q, st.qd)
+    ee = K.site_com_position(env.robot.model, fk, 11)
+    env._state = st.replace(goal=ee)
+    obs, r, term, trunc, info = env.step(np.zeros(7, np.float32))
+    assert info["is_success"]
+    assert bool(env.state.goal_reached)
+    env.close()
