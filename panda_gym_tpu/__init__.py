@@ -46,8 +46,10 @@ def register_envs(max_ep_steps: int = 50) -> None:
                 ("PandaPickAndPlace", "panda_gym_tpu.envs.panda_tasks:PandaPickAndPlaceEnv"),
                 ("PandaStack", "panda_gym_tpu.envs.panda_tasks:PandaStackEnv"),
                 ("PandaFlip", "panda_gym_tpu.envs.panda_tasks:PandaFlipEnv"),
+                ("MyCobotReach", "panda_gym_tpu.envs.panda_tasks:MyCobotReachEnv"),
             ]:
-                env_id = f"{name}{control_suffix}{reward_suffix}-v3"
+                ver = "v0" if name == "MyCobotReach" else "v3"  # __init__.py:38-44
+                env_id = f"{name}{control_suffix}{reward_suffix}-{ver}"
                 if env_id in registry:
                     del registry[env_id]
                 register(id=env_id, entry_point=entry, kwargs=kwargs,

@@ -15,7 +15,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 from panda_gym_tpu.envs.core import GymAdapter, RobotTaskEnv
-from panda_gym_tpu.envs.robot import PandaConfig, PandaRobot
+from panda_gym_tpu.envs.robot import MyCobotRobot, PandaConfig, PandaRobot
 from panda_gym_tpu.envs.tasks.classic import (
     Flip, PickAndPlace, Push, Reach, Slide, Stack,
 )
@@ -62,7 +62,17 @@ def make_flip_core(reward_type="sparse", control_type="ee", **kw) -> RobotTaskEn
     return RobotTaskEnv(robot, Flip(reward_type=reward_type))
 
 
+def make_mycobot_reach_core(reward_type="sparse", control_type="js",
+                            goal_range=0.3, **kw) -> RobotTaskEnv:
+    robot = MyCobotRobot(PandaConfig(
+        block_gripper=True, control_type=control_type,
+        base_position=_CLASSIC_BASE))
+    return RobotTaskEnv(robot, Reach(reward_type=reward_type,
+                                     goal_range=goal_range))
+
+
 _CORE_FACTORIES = {
+    "mycobotreach": make_mycobot_reach_core,
     "reach": make_reach_core,
     "push": make_push_core,
     "slide": make_slide_core,
@@ -113,3 +123,10 @@ class PandaFlipEnv(GymAdapter):
     def __init__(self, render: bool = False, reward_type: str = "sparse",
                  control_type: str = "ee", **kw):
         super().__init__(make_flip_core(reward_type, control_type))
+
+
+class MyCobotReachEnv(GymAdapter):
+    def __init__(self, render: bool = False, reward_type: str = "sparse",
+                 control_type: str = "js", goal_range=0.3, **kw):
+        super().__init__(make_mycobot_reach_core(reward_type, control_type,
+                                                 goal_range))

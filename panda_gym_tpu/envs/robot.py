@@ -53,9 +53,9 @@ class PandaRobot:
         self.ndof = self.model.ndof
         self.n_arm = 7
         self.ee_site = EE_SITE
-        # action dim: 3 (ee) or 7 (joints) + 1 finger channel if not blocked
-        # (panda.py:47-48)
-        n = 3 if config.control_type == "ee" else 7
+        # action dim: 3 (ee) or n_arm (joints) + 1 finger channel if not
+        # blocked (panda.py:47-48)
+        n = 3 if config.control_type == "ee" else self.n_arm
         self.action_dim = n + (0 if config.block_gripper else 1)
         self.ctrl_mode = (D.CTRL_VELOCITY if config.control_type == "jsd"
                           else D.CTRL_POSITION)
@@ -82,7 +82,7 @@ class PandaRobot:
         if "ee" in self.config.obs_type:
             parts += [self.ee_position(fk), self.ee_velocity(fk)]
         if "js" in self.config.obs_type:
-            parts += [state.q[:7], state.qd[:7]]
+            parts += [state.q[:self.n_arm], state.qd[:self.n_arm]]
         if not self.config.block_gripper:
             parts.append(self.fingers_width(state)[None])
         return jnp.concatenate(parts)
@@ -113,9 +113,10 @@ class PandaRobot:
             q_arm = K.dls_ik(
                 self.model, self.ee_site, target_ee,
                 target_quat=jnp.asarray(EE_DOWN_QUAT),
-                q0=state.q, n_iters=10)[:7]
+                q0=state.q, n_iters=10, n_arm=self.n_arm)[:self.n_arm]
         else:
-            q_arm = state.q[:7] + action[:7] * cfg.max_change_position  # :257-261
+            n = self.n_arm
+            q_arm = state.q[:n] + action[:n] * cfg.max_change_position  # :257-261
 
         if self.ndof > 7:
             if cfg.block_gripper:
@@ -130,7 +131,7 @@ class PandaRobot:
 
         if cfg.control_type == "jsd":
             # velocity control: targets are the action itself (panda.py:155-158)
-            vel_t = action[:7]
+            vel_t = action[:self.n_arm]
             if self.ndof > 7:
                 vel_t = jnp.concatenate([vel_t, jnp.zeros(2)])
             ctrl_target = vel_t
@@ -148,7 +149,7 @@ class PandaRobot:
         # reference's exact (sign-flipped) finite differences (panda.py:167-172)
         prev_jvel = state.cur_jvel
         prev_jacc = state.cur_jacc
-        cur_jvel = state.qd[:7]
+        cur_jvel = jnp.zeros(7).at[:self.n_arm].set(state.qd[:min(self.n_arm, 7)])
         cur_jacc = prev_jvel - cur_jvel
         cur_jerk = jnp.abs(prev_jacc - cur_jacc)
 
@@ -168,3 +169,31 @@ class PandaRobot:
 
     def manipulability(self, q):
         return K.manipulability(self.model, self.ee_site, q)
+
+
+class MyCobotRobot(PandaRobot):
+    """6-DoF MyCobot variant (reference envs/robots/mycobot.py): same action
+    pipeline minus the gripper; joint forces default to the reference's zeros
+    (mycobot.py:56), i.e. the motors exert no torque."""
+
+    def __init__(self, config: PandaConfig, effort: float = 0.0):
+        from panda_gym_tpu.models.mycobot import (
+            EE_SITE as MC_EE, NEUTRAL as MC_NEUTRAL, make_mycobot_model)
+
+        self.config = config
+        self.gripper = "none"
+        self.model = make_mycobot_model(base_position=config.base_position,
+                                        effort=effort)
+        self.ndof = self.model.ndof
+        self.n_arm = 6
+        self.ee_site = MC_EE
+        n = 3 if config.control_type == "ee" else self.n_arm
+        self.action_dim = n + (0 if config.block_gripper else 1)
+        from panda_gym_tpu.ops import dynamics as D
+        self.ctrl_mode = (D.CTRL_VELOCITY if config.control_type == "jsd"
+                          else D.CTRL_POSITION)
+        self.neutral = np.zeros(self.ndof, dtype=np.float32)
+        self.neutral[:6] = MC_NEUTRAL
+
+    def fingers_width(self, state):
+        return jnp.asarray(0.0)

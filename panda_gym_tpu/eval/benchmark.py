@@ -1,0 +1,189 @@
+"""Evaluation harness: batched policy benchmarking over scenarios.
+
+Replaces evaluation/evaluate.py's perform_benchmark / evaluate_ensemble
+(evaluate.py:88-317, 319-403): N-episode evaluation collecting success /
+collision / timeout rates, episode lengths, effort, jerk, manipulability and
+EE-speed statistics — but vectorized: all episodes of a scenario run as one
+jit-compiled batch on device instead of a tqdm loop of single env steps.
+
+Ensembles: a list of TrainStates for the same learner; per-step member
+actions are fused with the strategies of eval/ensemble.py
+(evaluate.py:174-211 dispatch), optionally fused with the NEO prior
+(strategy="bcf", fuse_controllers evaluate.py:33-40) or replaced by it
+(strategy="prior").
+"""
+from __future__ import annotations
+
+import json
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from panda_gym_tpu.eval import ensemble as fusion
+from panda_gym_tpu.ops import kinematics as K
+from panda_gym_tpu.rl.train import flat_x
+
+
+def _member_actions(learner, ts_list, x, key, deterministic=True):
+    means, stds = [], []
+    for ts in ts_list:
+        if hasattr(learner, "act_with_std"):
+            m, s = learner.act_with_std(ts, x)
+        else:
+            m = learner.act(ts, x, key, deterministic=True)
+            s = jnp.full_like(m, 1e-3)
+        means.append(m)
+        stds.append(s)
+    return jnp.stack(means), jnp.stack(stds)
+
+
+def perform_benchmark(
+    learner,
+    ts_list: Sequence,
+    core,
+    n_episodes: int = 100,
+    horizon: int = 300,
+    strategy: Optional[str] = None,
+    prior_sigma: float = 0.3,
+    seed: int = 0,
+) -> Dict[str, float]:
+    """Batched evaluation; returns the reference's results schema
+    (evaluate.py:286-300)."""
+    model = core.model
+    ee_site = core.robot.ee_site
+    n_arm = 7
+    use_prior = strategy in ("prior", "bcf")
+
+    def prior_action(state, fk):
+        from panda_gym_tpu.ops.neo import compute_action_neo
+        qd = compute_action_neo(model, ee_site, state, fk, state.goal)
+        return jnp.clip(qd / 2.0, -1.0, 1.0)  # scale to action space
+
+    def policy(states, obs, key):
+        x = flat_x(obs)
+        means, stds = _member_actions(learner, list(ts_list), x, key)
+        if strategy in (None, "", "mean"):
+            act = fusion.mean(means)
+        elif strategy == "weighted_aggregation":
+            act = fusion.weighted_aggregation(stds ** 2, means)
+        elif strategy == "bayesian_fusion":
+            act = fusion.bayesian_fusion(means, stds ** 2)
+        elif strategy == "confidence":
+            act, _ = fusion.confidence(means, stds ** 2)
+        elif strategy in ("prior", "bcf"):
+            fks = jax.vmap(lambda s: K.fk_world(model, s.q, s.qd))(states)
+            pr = jax.vmap(prior_action)(states, fks)
+            if strategy == "prior":
+                act = pr
+            else:
+                mu, sigma = fusion.fuse_controllers(
+                    pr, prior_sigma, fusion.mean(means),
+                    jnp.mean(stds, axis=0))
+                act = mu
+        else:
+            raise ValueError(f"unknown strategy {strategy}")
+        return act
+
+    def step_fn(carry, _):
+        states, obs, done, ep_len, key = carry
+        key, k_act = jax.random.split(key)
+        action = policy(states, obs, k_act)
+        nstates, nobs, reward, term, trunc, info = jax.vmap(core.step)(
+            states, action)
+        keep = lambda old, new: jnp.where(
+            done.reshape((-1,) + (1,) * (new.ndim - 1)), old, new)
+        states = jax.tree_util.tree_map(keep, states, nstates)
+        obs = jax.tree_util.tree_map(keep, obs, nobs)
+        ep_len = ep_len + (~done).astype(jnp.int32)
+
+        fks = jax.vmap(lambda s: K.fk_world(model, s.q, s.qd))(states)
+        ee_speed = jax.vmap(
+            lambda s, f: jnp.linalg.norm(core.robot.ee_velocity(f)))(states, fks)
+        manip = jax.vmap(lambda s: K.manipulability(model, ee_site, s.q))(states)
+        effort = jax.vmap(lambda s: jnp.linalg.norm(s.cur_jacc))(states)
+        jerk = jax.vmap(lambda s: jnp.linalg.norm(s.cur_jerk))(states)
+        active = (~done).astype(jnp.float32)
+        metrics = dict(
+            effort=effort * active, jerk=jerk * active,
+            manip=manip * active, ee_speed=ee_speed * active,
+            reward=jnp.where(done, 0.0, reward),
+            success=info["is_success"] & ~done,
+            collided=info["is_truncated"] & ~done,
+            active=active)
+        done = done | term | trunc
+        return (states, obs, done, ep_len, key), metrics
+
+    @jax.jit
+    def run(key):
+        keys = jax.random.split(key, n_episodes)
+        states, obs = jax.vmap(core.reset)(keys)
+        done0 = jnp.zeros(n_episodes, bool)
+        len0 = jnp.zeros(n_episodes, jnp.int32)
+        (states, obs, done, ep_len, _), m = jax.lax.scan(
+            step_fn, (states, obs, done0, len0, key), None, length=horizon)
+        return done, ep_len, m
+
+    done, ep_len, m = run(jax.random.PRNGKey(seed))
+    m = jax.device_get(m)
+    done = np.asarray(done)
+    ep_len = np.asarray(ep_len)
+
+    success_ep = np.asarray(m["success"]).any(axis=0)
+    collided_ep = np.asarray(m["collided"]).any(axis=0) & ~success_ep
+    timeout_ep = ~success_ep & ~collided_ep
+    steps_total = np.asarray(m["active"]).sum()
+
+    def per_step_mean(x):
+        return float(np.sum(x) / max(steps_total, 1))
+
+    results = {
+        "scenario_episodes": int(n_episodes),
+        "success_rate": float(success_ep.mean()),
+        "collision_rate": float(collided_ep.mean()),
+        "timeout_rate": float(timeout_ep.mean()),
+        "mean_ep_length": float(ep_len.mean()),
+        "mean_num_sim_steps": float(ep_len.mean() * core.n_substeps),
+        "mean_effort": per_step_mean(m["effort"]),
+        "mean_jerk": per_step_mean(m["jerk"]),
+        "mean_manipulability": per_step_mean(m["manip"]),
+        "mean_ee_speed": per_step_mean(m["ee_speed"]),
+        "mean_reward": float(np.asarray(m["reward"]).sum() / n_episodes),
+    }
+    return results
+
+
+def evaluate_scenarios(learner, ts_list, make_core: Callable[[str], object],
+                       scenarios: Sequence[str], n_episodes: int = 100,
+                       horizon: int = 300, strategy: Optional[str] = None,
+                       seed: int = 0) -> Dict[str, Dict[str, float]]:
+    """Benchmark over the reference's scenario table
+    (setup_training.py:334-381 benchmark_model / evaluate.py:361-379)."""
+    out = {}
+    for sc in scenarios:
+        core = make_core(sc)
+        out[sc] = perform_benchmark(learner, ts_list, core,
+                                    n_episodes=n_episodes, horizon=horizon,
+                                    strategy=strategy, seed=seed)
+    return out
+
+
+def display_and_save_benchmark_results(results: Dict[str, Dict], path: str):
+    """Tabulate + persist (evaluate.py:386-403; CSV/JSON instead of xlsx)."""
+    import pandas as pd
+
+    df = pd.DataFrame(results).T
+    print(df.to_string())
+    df.to_csv(path + ".csv")
+    with open(path + ".json", "w") as f:
+        json.dump(results, f, indent=1)
+    return df
+
+
+BENCHMARK_SCENARIOS = [
+    # benchmark_model's scenario list (setup_training.py:334-381)
+    "wangexp-3", "library1", "library2", "narrow_tunnel", "tunnel",
+    "workshop", "industrial", "wall", "bookshelves", "countertop",
+    "kitchen", "tabletop", "raised_shelves",
+]

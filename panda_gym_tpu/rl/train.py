@@ -57,12 +57,14 @@ class VectorEnv:
         keys = jax.random.split(key, self.n_envs)
         return jax.vmap(self.core.reset)(keys)
 
-    def rollout_episode(self, learner, ts, key, deterministic=False):
+    def rollout_episode(self, learner, ts, key, deterministic=False,
+                        policy_fn=None):
         """One synchronous episode batch of `horizon` steps.
 
         Returns stacked episode tensors shaped for HerBuffer plus episode
         stats.  Post-termination steps are frozen (no further state change,
-        no further writes).
+        no further writes).  `policy_fn(x, states, key) -> actions` overrides
+        the learner (used by the prior-bootstrap imitation fill).
         """
         core = self.core
         T = self.horizon
@@ -71,7 +73,9 @@ class VectorEnv:
             states, obs, done, ep_len, key = carry
             key, k_act, k_step = jax.random.split(key, 3)
             x = flat_x(obs)
-            if deterministic:
+            if policy_fn is not None:
+                action = policy_fn(x, states, k_act)
+            elif deterministic:
                 action = learner.act(ts, x, k_act, deterministic=True)
             else:
                 action = learner.act(ts, x, k_act)
@@ -190,10 +194,14 @@ class Trainer:
         learner = self.learner
         hp = cfg.hyperparams
         batch_size = getattr(hp, "batch_size", 256)
-        # updates per rollout ~ SB3's train_freq/gradient_steps cadence
-        updates_per_rollout = max(
-            horizon * getattr(hp, "gradient_steps", 8)
-            // max(getattr(hp, "train_freq", 8), 1), 1)
+        # update-to-data ratio: SB3's TQC preset (train_freq=8 vec-steps of 8
+        # envs, gradient_steps=8, setup_training + hyperparameters.py:16-17)
+        # performs 8 updates per 64 transitions = 0.125 updates/transition.
+        # Keep that ratio independent of our (much larger) n_envs.
+        utd = getattr(hp, "gradient_steps", 8) / (
+            max(getattr(hp, "train_freq", 8), 1) * 8.0)
+        transitions_per_rollout = cfg.n_envs * horizon
+        updates_per_rollout = max(int(utd * transitions_per_rollout), 1)
 
         reward_fn = self._reward_fn(core)
 

@@ -1,0 +1,153 @@
+"""RL stack: HER buffer semantics, learner updates, QP/NEO, ensemble fusion."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from panda_gym_tpu.rl import her
+from panda_gym_tpu.rl.config import Hyperparameters
+from panda_gym_tpu.rl.learners import make_learner
+
+
+def test_her_buffer_roundtrip_and_relabel():
+    buf = her.create(capacity_episodes=8, ep_horizon=5, obs_dim=2,
+                     goal_dim=3, act_dim=2, aux_dim=0)
+    B, T = 4, 5
+    achieved = jnp.arange(B * (T + 1) * 3, dtype=jnp.float32).reshape(B, T + 1, 3)
+    episodes = dict(
+        obs=jnp.zeros((B, T + 1, 2)), achieved=achieved,
+        desired=jnp.full((B, 3), -1.0), action=jnp.zeros((B, T, 2)),
+        aux=jnp.zeros((B, T, 0)), ep_len=jnp.full((B,), T, jnp.int32),
+        terminated=jnp.zeros((B, T), bool))
+    buf = her.add_episodes(buf, **episodes)
+    assert int(buf.n_stored) == 4
+
+    def reward_fn(ach_next, goal, aux):
+        return -jnp.linalg.norm(ach_next - goal, axis=-1)
+
+    batch = her.sample(buf, jax.random.PRNGKey(0), 128, reward_fn,
+                       her_ratio=1.0)
+    # with her_ratio 1, every goal must be an achieved state from the same
+    # episode at a later time -> goal must appear in that episode's achieved
+    goals = np.asarray(batch["goal"])
+    ach = np.asarray(buf.achieved[:4]).reshape(-1, 3)
+    for g in goals[:16]:
+        assert (np.abs(ach - g).sum(-1) < 1e-5).any(), g
+
+    batch0 = her.sample(buf, jax.random.PRNGKey(1), 128, reward_fn,
+                        her_ratio=0.0)
+    np.testing.assert_allclose(np.asarray(batch0["goal"]),
+                               np.full((128, 3), -1.0))
+
+
+def test_her_ring_overwrite():
+    buf = her.create(4, 3, 1, 1, 1, 0)
+    eps = dict(obs=jnp.ones((3, 4, 1)), achieved=jnp.ones((3, 4, 1)),
+               desired=jnp.ones((3, 1)), action=jnp.ones((3, 3, 1)),
+               aux=jnp.zeros((3, 3, 0)), ep_len=jnp.full((3,), 3, jnp.int32),
+               terminated=jnp.zeros((3, 3), bool))
+    buf = her.add_episodes(buf, **eps)
+    buf = her.add_episodes(buf, **eps)
+    assert int(buf.n_stored) == 4
+    assert int(buf.write_idx) == 2
+
+
+@pytest.mark.parametrize("algo", ["SAC", "TQC", "TD3", "DDPG"])
+def test_learner_update_and_act(algo):
+    hp = Hyperparameters("TQC" if algo in ("SAC",) else algo)
+    L = make_learner(algo, 6, 3, hp)
+    ts = L.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (32, 6))
+    batch = dict(x=x, x2=x, action=jnp.zeros((32, 3)),
+                 reward=-jnp.ones(32), terminated=jnp.zeros(32))
+    ts2, m = jax.jit(L.update)(ts, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(m["critic_loss"])
+    assert int(ts2.step) == 1
+    a = L.act(ts2, x, jax.random.PRNGKey(3))
+    assert a.shape == (32, 3)
+    assert (np.abs(np.asarray(a)) <= 1.0 + 1e-5).all()
+
+
+def test_learner_gamma0_regression():
+    """With gamma=0 the critic must regress to the rewards."""
+    hp = Hyperparameters("TQC")
+    hp.gamma = 0.0
+    L = make_learner("TQC", 4, 2, hp)
+    ts = L.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(2), (256, 4))
+    a = jax.random.uniform(jax.random.PRNGKey(3), (256, 2), minval=-1, maxval=1)
+    r = -jnp.sum(x[:, :2] ** 2, -1)
+    batch = dict(x=x, x2=x, action=a, reward=r, terminated=jnp.ones(256))
+    upd = jax.jit(L.update)
+    key = jax.random.PRNGKey(1)
+    for _ in range(300):
+        key, k = jax.random.split(key)
+        ts, m = upd(ts, batch, k)
+    q = L.critic.apply(ts.critic_params, x, a).mean(axis=(0, 2))
+    assert float(jnp.mean(jnp.abs(q - r))) < 0.3
+
+
+def test_qp_solver():
+    from panda_gym_tpu.ops.qp import solve_qp_admm
+    Q = jnp.eye(2)
+    x, _ = solve_qp_admm(Q, jnp.array([-1.0, -2.0]), jnp.eye(2),
+                         jnp.zeros(2), jnp.ones(2))
+    np.testing.assert_allclose(np.asarray(x), [1, 1], atol=1e-3)
+    x, _ = solve_qp_admm(Q, jnp.zeros(2), jnp.array([[1.0, 1.0]]),
+                         jnp.ones(1), jnp.ones(1))
+    np.testing.assert_allclose(np.asarray(x), [0.5, 0.5], atol=1e-3)
+
+
+def test_neo_prior_moves_toward_goal():
+    from panda_gym_tpu.envs.tasks.reach_ao import make_reach_ao_core
+    from panda_gym_tpu.ops.neo import compute_action_neo
+    import panda_gym_tpu.ops.kinematics as K
+
+    core = make_reach_ao_core("reachao1")
+    st, _ = core.reset(jax.random.PRNGKey(0))
+    fk = K.fk_world(core.model, st.q, st.qd)
+    qd = compute_action_neo(core.model, core.robot.ee_site, st, fk, st.goal)
+    ee = K.site_com_position(core.model, fk, core.robot.ee_site)
+    Jv, _ = K.point_jacobian(core.model, fk, ee,
+                             core.model.site_body_tuple[core.robot.ee_site])
+    v = Jv[:, :7] @ qd
+    d = (st.goal - ee) / jnp.linalg.norm(st.goal - ee)
+    assert float(v @ d) > 0.02  # EE heads toward the goal
+    # joint velocity limits respected (QP bounds, panda.py:417-419)
+    from panda_gym_tpu.models import panda_constants as pc
+    assert (np.abs(np.asarray(qd)) <= pc.QDLIM + 1e-3).all()
+
+
+def test_ensemble_fusion():
+    from panda_gym_tpu.eval import ensemble as F
+    means = jnp.array([[1.0, 0.0], [0.0, 1.0]])
+    vars_ = jnp.array([[0.1, 0.1], [10.0, 10.0]])
+    np.testing.assert_allclose(np.asarray(F.mean(means)), [0.5, 0.5])
+    w = F.weighted_aggregation(vars_, means)
+    assert w[0] > 0.9  # low-variance member dominates
+    a, idx = F.confidence(means, vars_)
+    assert int(idx) == 0
+    mu, sigma = F.fuse_controllers(jnp.zeros(2), 1.0, jnp.ones(2), 1.0)
+    np.testing.assert_allclose(np.asarray(mu), [0.5, 0.5])
+
+
+def test_trainer_smoke():
+    """Tiny end-to-end Trainer run (2 rollouts, Reach)."""
+    from panda_gym_tpu.rl.config import TrainConfig
+    from panda_gym_tpu.rl.train import Trainer
+    from panda_gym_tpu.envs.panda_tasks import make_reach_core
+
+    cfg = TrainConfig()
+    cfg.n_envs = 4
+    cfg.stages = ["s0"]
+    cfg.success_thresholds = [2.0]
+    cfg.max_ep_steps = [5]
+    cfg.ee_error_thresholds = [0.05]
+    cfg.max_timesteps = 40
+    cfg.learning_starts = 10
+    cfg.eval_freq = 1000
+
+    tr = Trainer(cfg, lambda s, e, sp: make_reach_core(reward_type="dense"))
+    tr.learn(seed=0)
+    assert tr.timesteps >= 40
+    assert any("rollout_success" in r for r in tr.metrics.history)
