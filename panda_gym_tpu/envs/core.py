@@ -288,6 +288,15 @@ class GymAdapter(_gym.Env):
     def remove_state(self, state_id: int) -> None:
         del self._saved_states[state_id]
 
+    def render(self, mode: str = "rgb_array", width: int = 720,
+               height: int = 480, target_position=None, distance: float = 1.4,
+               yaw: float = 45, pitch: float = -30, roll: float = 0):
+        """rgb_array software render (reference core.py:373-414 signature)."""
+        from panda_gym_tpu.render import render_env
+        return render_env(self, width=width, height=height,
+                          target_position=target_position, distance=distance,
+                          yaw=yaw, pitch=pitch, roll=roll)
+
     def close(self):
         pass
 

@@ -179,7 +179,8 @@ def crba(model: ChainModel, q):
             c_t = jnp.where(m_t > 0, (m_p * c_p + m_c * c_c) / jnp.maximum(m_t, 1e-12), 0.0)
             Ic[pd] = (m_t, c_t, I_p + I_c)
 
-    M = jnp.zeros((ndof, ndof))
+    # build M entry-wise and stack (no scatters — friendlier to XLA fusion)
+    entries = [[None] * ndof for _ in range(ndof)]
     for d in range(ndof):
         ax = model.axis[d]
         if model.jtype_tuple[d] == JOINT_REVOLUTE:
@@ -188,7 +189,7 @@ def crba(model: ChainModel, q):
             s_om, s_v = jnp.zeros(3), ax
         # F = Ic[d] * S_d, expressed in frame d
         Fn, Ff = _inertia_mul(*Ic[d], s_om, s_v)
-        M = M.at[d, d].set(jnp.dot(s_om, Fn) + jnp.dot(s_v, Ff))
+        entries[d][d] = jnp.dot(s_om, Fn) + jnp.dot(s_v, Ff)
         j = d
         while model.parent_tuple[j] >= 0:
             R, p = Xs[j]
@@ -199,9 +200,12 @@ def crba(model: ChainModel, q):
                 Mdj = jnp.dot(axj, Fn)
             else:
                 Mdj = jnp.dot(axj, Ff)
-            M = M.at[d, j].set(Mdj)
-            M = M.at[j, d].set(Mdj)
-    return M
+            entries[d][j] = Mdj
+            entries[j][d] = Mdj
+    zero = jnp.zeros(())
+    rows = [jnp.stack([e if e is not None else zero for e in row])
+            for row in entries]
+    return jnp.stack(rows)
 
 
 # ---------------------------------------------------------------------------
@@ -252,9 +256,10 @@ def motor_substep(
     tau_c = jnp.clip(tau, -model.effort, model.effort)
 
     # qdd = M^{-1} (tau_c + tau_ext - bias); equals qdd_des without clamping.
-    L = jnp.linalg.cholesky(M + 1e-9 * jnp.eye(model.ndof))
-    y = jax.scipy.linalg.solve_triangular(L, tau_c + tau_ext - bias, lower=True)
-    qdd = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    # Index-unrolled solve: batched LAPACK-style cholesky is the TPU
+    # bottleneck for these tiny matrices (see ops/linalg.py).
+    from panda_gym_tpu.ops.linalg import cholesky_solve_unrolled
+    qdd = cholesky_solve_unrolled(M, tau_c + tau_ext - bias)
 
     qd_new = qd + qdd * dt
     q_new = q + qd_new * dt

@@ -24,12 +24,11 @@ def solve_qp_admm(Q, c, A, l, u, n_iters: int = 60, rho: float = 0.1,
     m = A.shape[-2]
     At = jnp.swapaxes(A, -1, -2)
     K = Q + sigma * jnp.eye(n) + rho * (At @ A)
-    L = jnp.linalg.cholesky(K)
+
+    from panda_gym_tpu.ops.linalg import cholesky_solve_unrolled
 
     def cho_solve(b):
-        y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
-        return jax.scipy.linalg.solve_triangular(jnp.swapaxes(L, -1, -2), y,
-                                                 lower=False)
+        return cholesky_solve_unrolled(K, b)
 
     x0 = jnp.zeros(n)
     z0 = jnp.zeros(m)

@@ -259,8 +259,10 @@ def make_physics_step(
     dt = TIMESTEP
     nb = scene.nb
 
+    need_fk = (has_bodies and nb > 0 and robot_contact) or check_collision
+
     def substep(state: EnvState) -> EnvState:
-        fk = K.fk_world(model, state.q, state.qd)
+        fk = K.fk_world(model, state.q, state.qd) if need_fk else None
         tau_ext = jnp.zeros(model.ndof)
 
         if has_bodies and nb > 0:
