@@ -34,7 +34,7 @@ def bench_env_steps(batch: int = 4096, iters: int = 30, task: str = "reach"):
         key, sub = jax.random.split(key)
         actions = jax.random.uniform(
             sub, (batch, core.robot.action_dim), minval=-1.0, maxval=1.0)
-        states, obs, reward, term, trunc, info = jax.vmap(core.step)(states, actions)
+        states, obs, reward, term, trunc, info = core.batched_step(states, actions)
         return states, key, reward
 
     key = jax.random.PRNGKey(1)

@@ -93,8 +93,7 @@ class RobotTaskEnv:
         self.terminate_on_success = (
             task.terminate_on_success if terminate_on_success is None
             else terminate_on_success)
-        self.physics_step = engine.make_physics_step(
-            robot.model, task.scene,
+        physics_kw = dict(
             n_substeps=n_substeps,
             ctrl_mode=robot.ctrl_mode,
             robot_contact=task.robot_contact,
@@ -103,6 +102,11 @@ class RobotTaskEnv:
             moving_obstacles=task.moving_obstacles,
             has_bodies=task.scene.nb > 0,
         )
+        self.physics_step = engine.make_physics_step(
+            robot.model, task.scene, **physics_kw)
+        # batch-native fast path (None -> vmap fallback in batched_step)
+        self.physics_step_batched = engine.make_batched_physics_step(
+            robot.model, task.scene, **physics_kw)
         # derive dims from a template rollout
         self._template = self.init_state(jax.random.PRNGKey(0))
 
@@ -163,6 +167,10 @@ class RobotTaskEnv:
         """Pure step (core.py:352-368): set_action -> physics -> obs/reward."""
         state = self.robot.set_action(state, action)
         state = self.physics_step(state)
+        return self._step_post(state)
+
+    def _step_post(self, state: EnvState):
+        """Everything after the physics substeps: obs/reward/termination."""
         state = state.replace(steps=state.steps + 1)
 
         fk = K.fk_world(self.model, state.q, state.qd)
@@ -192,7 +200,14 @@ class RobotTaskEnv:
         return jax.vmap(self.reset)(keys)
 
     def batched_step(self, states, actions):
-        return jax.vmap(self.step)(states, actions)
+        """Batched step; routes physics through the batch-native scalarized
+        path when the task configuration allows it (engine.py:
+        make_batched_physics_step), else vmap of the per-env step."""
+        if self.physics_step_batched is None:
+            return jax.vmap(self.step)(states, actions)
+        states = jax.vmap(self.robot.set_action)(states, actions)
+        states = self.physics_step_batched(states)
+        return jax.vmap(self._step_post)(states)
 
 
 # ---------------------------------------------------------------------------

@@ -90,7 +90,7 @@ def perform_benchmark(
         states, obs, done, ep_len, key = carry
         key, k_act = jax.random.split(key)
         action = policy(states, obs, k_act)
-        nstates, nobs, reward, term, trunc, info = jax.vmap(core.step)(
+        nstates, nobs, reward, term, trunc, info = core.batched_step(
             states, action)
         keep = lambda old, new: jnp.where(
             done.reshape((-1,) + (1,) * (new.ndim - 1)), old, new)

@@ -1,0 +1,487 @@
+"""Batch-last scalarized articulated dynamics (the TPU hot-loop layout).
+
+The per-env Featherstone code in ``ops/dynamics.py`` is written over (3,) /
+(3, 3) arrays and batched with vmap, which puts the env batch on the
+*sublane* axis and 3-wide vectors on the *lane* axis: every VPU op then uses
+3 of 128 lanes (~2% utilisation).  This module re-expresses the identical
+algorithms in structure-of-arrays form: every spatial quantity is a tuple of
+scalar components, each component a ``(B,)`` array laid out across the full
+VPU (XLA tiles a (B,) elementwise op as (B/128, 128) — all lanes busy).
+
+Two further TPU-native wins fall out of the representation:
+
+  * model constants (joint frames, axes, inertias, limits — all static for a
+    compiled env) enter as Python floats and participate in trace-time
+    constant folding: multiplications by 0 vanish, so e.g. the Rodrigues
+    rotation about the Panda's constant joint axes collapses to the minimal
+    2x2 rotation blocks;
+  * there are no (B, 3, 3) matmuls or batched LAPACK factorizations left —
+    the 9x9 mass-matrix Cholesky is index-unrolled over scalar components.
+
+Replaces (numerically matches) `motor_substep` for the robot-only physics
+path — the inner loop of every Reach/ReachAO policy step (reference
+pybullet.py:68-71 stepSimulation x n_substeps; motor semantics
+pybullet.py:437-463).
+
+The same scalar-component trace also runs unchanged *inside a Pallas kernel*
+(see ``ops/pallas_dynamics.py``) where components are (8, 128) VMEM tiles and
+the whole 20-substep loop stays on-chip.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from panda_gym_tpu.models.chain import ChainModel, JOINT_REVOLUTE
+
+# ---------------------------------------------------------------------------
+# scalar algebra with trace-time constant folding
+# ---------------------------------------------------------------------------
+
+def _is_c(x) -> bool:
+    return isinstance(x, float)
+
+
+def neg(a):
+    return -a if _is_c(a) else -a
+
+
+def add(a, b):
+    if _is_c(a) and _is_c(b):
+        return a + b
+    if _is_c(a) and a == 0.0:
+        return b
+    if _is_c(b) and b == 0.0:
+        return a
+    return a + b
+
+
+def sub(a, b):
+    if _is_c(b) and b == 0.0:
+        return a
+    if _is_c(a) and a == 0.0:
+        return neg(b)
+    if _is_c(a) and _is_c(b):
+        return a - b
+    return a - b
+
+
+def mul(a, b):
+    if _is_c(a) and _is_c(b):
+        return a * b
+    if _is_c(a):
+        if a == 0.0:
+            return 0.0
+        if a == 1.0:
+            return b
+        if a == -1.0:
+            return -b
+        return a * b
+    if _is_c(b):
+        return mul(b, a)
+    return a * b
+
+
+def fma(a, b, c):
+    """a*b + c with folding."""
+    return add(mul(a, b), c)
+
+
+def div(a, b):
+    if _is_c(b):
+        return mul(a, 1.0 / b)
+    if _is_c(a) and a == 0.0:
+        return 0.0
+    return a / b
+
+
+# vec3 = (x, y, z) of scalars; mat3 = ((..),(..),(..)) rows of vec3
+V0 = (0.0, 0.0, 0.0)
+I3 = ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0))
+
+
+def vadd(a, b):
+    return tuple(add(x, y) for x, y in zip(a, b))
+
+
+def vsub(a, b):
+    return tuple(sub(x, y) for x, y in zip(a, b))
+
+
+def vscale(s, a):
+    return tuple(mul(s, x) for x in a)
+
+
+def vdot(a, b):
+    return add(add(mul(a[0], b[0]), mul(a[1], b[1])), mul(a[2], b[2]))
+
+
+def vcross(a, b):
+    return (
+        sub(mul(a[1], b[2]), mul(a[2], b[1])),
+        sub(mul(a[2], b[0]), mul(a[0], b[2])),
+        sub(mul(a[0], b[1]), mul(a[1], b[0])),
+    )
+
+
+def mv(M, v):
+    return tuple(vdot(row, v) for row in M)
+
+
+def mtv(M, v):
+    """M^T v."""
+    return tuple(
+        add(add(mul(M[0][i], v[0]), mul(M[1][i], v[1])), mul(M[2][i], v[2]))
+        for i in range(3)
+    )
+
+
+def mm(A, B):
+    return tuple(
+        tuple(
+            add(add(mul(A[i][0], B[0][j]), mul(A[i][1], B[1][j])),
+                mul(A[i][2], B[2][j]))
+            for j in range(3))
+        for i in range(3))
+
+
+def mT(A):
+    return tuple(tuple(A[j][i] for j in range(3)) for i in range(3))
+
+
+def skew(v):
+    return (
+        (0.0, neg(v[2]), v[1]),
+        (v[2], 0.0, neg(v[0])),
+        (neg(v[1]), v[0], 0.0),
+    )
+
+
+def madd(A, B):
+    return tuple(vadd(ra, rb) for ra, rb in zip(A, B))
+
+
+def msub(A, B):
+    return tuple(vsub(ra, rb) for ra, rb in zip(A, B))
+
+
+def mscale(s, A):
+    return tuple(vscale(s, row) for row in A)
+
+
+def cmat(M) -> Tuple[Tuple[float, ...], ...]:
+    """numpy (3,3) -> const mat3 of Python floats."""
+    return tuple(tuple(float(x) for x in row) for row in np.asarray(M))
+
+
+def cvec(v) -> Tuple[float, ...]:
+    return tuple(float(x) for x in np.asarray(v))
+
+
+def axis_angle(axis_c: Tuple[float, float, float], c, s):
+    """Rodrigues rotation about a constant unit axis, cos/sin given.
+
+    With a constant axis the 9 entries fold: for [0,0,1] this is the familiar
+    2x2 rotation block (kinematics.py:_axis_angle_mat, constant-folded).
+    """
+    x, y, z = axis_c
+    C1 = sub(1.0, c)  # array
+    return (
+        (add(c, mul(mul(x, x), C1)),
+         sub(mul(mul(x, y), C1), mul(z, s)),
+         add(mul(mul(x, z), C1), mul(y, s))),
+        (add(mul(mul(y, x), C1), mul(z, s)),
+         add(c, mul(mul(y, y), C1)),
+         sub(mul(mul(y, z), C1), mul(x, s))),
+        (sub(mul(mul(z, x), C1), mul(y, s)),
+         add(mul(mul(z, y), C1), mul(x, s)),
+         add(c, mul(mul(z, z), C1))),
+    )
+
+
+# ---------------------------------------------------------------------------
+# static model constants
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class ModelConsts:
+    ndof: int
+    parent: Tuple[int, ...]
+    revolute: Tuple[bool, ...]
+    X_R: Tuple
+    X_p: Tuple
+    axis: Tuple
+    mass: Tuple[float, ...]
+    com: Tuple
+    inertia: Tuple
+    q_lo: Tuple[float, ...]
+    q_hi: Tuple[float, ...]
+    effort: Tuple[float, ...]
+    vel_limit: Tuple[float, ...]
+
+
+def consts_from_model(model: ChainModel) -> ModelConsts:
+    g = lambda a: np.asarray(a, dtype=np.float64)
+    return ModelConsts(
+        ndof=model.ndof,
+        parent=model.parent_tuple,
+        revolute=tuple(t == JOINT_REVOLUTE for t in model.jtype_tuple),
+        X_R=tuple(cmat(m) for m in g(model.X_R)),
+        X_p=tuple(cvec(v) for v in g(model.X_p)),
+        axis=tuple(cvec(v) for v in g(model.axis)),
+        mass=tuple(float(x) for x in g(model.mass)),
+        com=tuple(cvec(v) for v in g(model.com)),
+        inertia=tuple(cmat(m) for m in g(model.inertia)),
+        q_lo=tuple(float(x) for x in g(model.q_lo)),
+        q_hi=tuple(float(x) for x in g(model.q_hi)),
+        effort=tuple(float(x) for x in g(model.effort)),
+        vel_limit=tuple(float(x) for x in g(model.vel_limit)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Featherstone in component form (mirrors ops/dynamics.py exactly)
+# ---------------------------------------------------------------------------
+
+def _joint_X(mc: ModelConsts, d: int, q_d):
+    """Child-body frame pose (R, p) in parent coords (dynamics.py:_joint_X)."""
+    if mc.revolute[d]:
+        c, s = jnp.cos(q_d), jnp.sin(q_d)
+        R = mm(mc.X_R[d], axis_angle(mc.axis[d], c, s))
+        p = mc.X_p[d]
+    else:
+        R = mc.X_R[d]
+        p = vadd(mc.X_p[d], mv(R, vscale(q_d, mc.axis[d])))
+    return R, p
+
+
+def _motion_to_child(R, p, om, v):
+    return mtv(R, om), mtv(R, vadd(v, vcross(om, p)))
+
+
+def _force_to_parent(R, p, n, f):
+    f_p = mv(R, f)
+    n_p = vadd(mv(R, n), vcross(p, f_p))
+    return n_p, f_p
+
+
+def _inertia_mul(m, c, I_o, om, v):
+    n = vadd(mv(I_o, om), vscale(m, vcross(c, v)))
+    f = vscale(m, vadd(v, vcross(om, c)))
+    return n, f
+
+
+def rnea(mc: ModelConsts, q, qd, qdd, gravity=(0.0, 0.0, -9.81)):
+    """Inverse dynamics (dynamics.py:rnea) over component lists.
+
+    q/qd/qdd: sequences of ndof scalars (arrays or floats). Returns list of
+    ndof joint torques (scalars).
+    """
+    g = (float(gravity[0]), float(gravity[1]), float(gravity[2]))
+    ndof = mc.ndof
+    Xs, v_om, v_v, a_om, a_v, f_n, f_f = [], [], [], [], [], [], []
+
+    for d in range(ndof):
+        R, p = _joint_X(mc, d, q[d])
+        Xs.append((R, p))
+        pd = mc.parent[d]
+        if pd < 0:
+            om_p, v_p = V0, V0
+            aom_p, av_p = V0, (neg(g[0]), neg(g[1]), neg(g[2]))
+        else:
+            om_p, v_p = v_om[pd], v_v[pd]
+            aom_p, av_p = a_om[pd], a_v[pd]
+
+        om_i, v_i = _motion_to_child(R, p, om_p, v_p)
+        aom_i, av_i = _motion_to_child(R, p, aom_p, av_p)
+
+        ax = mc.axis[d]
+        if mc.revolute[d]:
+            s_om, s_v = ax, V0
+        else:
+            s_om, s_v = V0, ax
+
+        vj_om, vj_v = vscale(qd[d], s_om), vscale(qd[d], s_v)
+        om_i = vadd(om_i, vj_om)
+        v_i = vadd(v_i, vj_v)
+        aom_i = vadd(aom_i, vadd(vscale(qdd[d], s_om), vcross(om_i, vj_om)))
+        av_i = vadd(av_i, vadd(vscale(qdd[d], s_v),
+                               vadd(vcross(om_i, vj_v), vcross(v_i, vj_om))))
+
+        m, c, I_o = mc.mass[d], mc.com[d], mc.inertia[d]
+        hn, hf = _inertia_mul(m, c, I_o, om_i, v_i)
+        fn_i, ff_i = _inertia_mul(m, c, I_o, aom_i, av_i)
+        fn_i = vadd(fn_i, vadd(vcross(om_i, hn), vcross(v_i, hf)))
+        ff_i = vadd(ff_i, vcross(om_i, hf))
+
+        v_om.append(om_i); v_v.append(v_i)
+        a_om.append(aom_i); a_v.append(av_i)
+        f_n.append(fn_i); f_f.append(ff_i)
+
+    tau = [None] * ndof
+    for d in reversed(range(ndof)):
+        ax = mc.axis[d]
+        tau[d] = vdot(ax, f_n[d]) if mc.revolute[d] else vdot(ax, f_f[d])
+        pd = mc.parent[d]
+        if pd >= 0:
+            R, p = Xs[d]
+            n_p, f_p = _force_to_parent(R, p, f_n[d], f_f[d])
+            f_n[pd] = vadd(f_n[pd], n_p)
+            f_f[pd] = vadd(f_f[pd], f_p)
+    return tau
+
+
+def _inertia_to_parent(R, p, m, c, I_o):
+    c_p = vadd(mv(R, c), p)
+    sk_c = skew(c)
+    I_com = msub(I_o, mscale(m, mm(sk_c, mT(sk_c))))
+    I_com_p = mm(R, mm(I_com, mT(R)))
+    sk_cp = skew(c_p)
+    I_o_p = madd(I_com_p, mscale(m, mm(sk_cp, mT(sk_cp))))
+    return m, c_p, I_o_p
+
+
+def crba(mc: ModelConsts, q):
+    """Mass matrix entries M[i][j] (scalars), mirroring dynamics.py:crba."""
+    ndof = mc.ndof
+    Xs = [_joint_X(mc, d, q[d]) for d in range(ndof)]
+
+    Ic = [(mc.mass[d], mc.com[d], mc.inertia[d]) for d in range(ndof)]
+    for d in reversed(range(ndof)):
+        pd = mc.parent[d]
+        if pd >= 0:
+            R, p = Xs[d]
+            m_c, c_c, I_c = _inertia_to_parent(R, p, *Ic[d])
+            m_p, c_p, I_p = Ic[pd]
+            m_t = m_p + m_c  # both floats by construction
+            w = 1.0 / max(m_t, 1e-12)
+            c_t = vscale(w, vadd(vscale(m_p, c_p), vscale(m_c, c_c)))
+            Ic[pd] = (m_t, c_t, madd(I_p, I_c))
+
+    M = [[0.0] * ndof for _ in range(ndof)]
+    for d in range(ndof):
+        ax = mc.axis[d]
+        if mc.revolute[d]:
+            s_om, s_v = ax, V0
+        else:
+            s_om, s_v = V0, ax
+        Fn, Ff = _inertia_mul(*Ic[d], s_om, s_v)
+        M[d][d] = add(vdot(s_om, Fn), vdot(s_v, Ff))
+        j = d
+        while mc.parent[j] >= 0:
+            R, p = Xs[j]
+            Fn, Ff = _force_to_parent(R, p, Fn, Ff)
+            j = mc.parent[j]
+            axj = mc.axis[j]
+            Mdj = vdot(axj, Fn) if mc.revolute[j] else vdot(axj, Ff)
+            M[d][j] = Mdj
+            M[j][d] = Mdj
+    return M
+
+
+def cholesky_solve(M, b, eps: float = 1e-9):
+    """Index-unrolled SPD solve over scalar entries (linalg.py semantics)."""
+    n = len(b)
+    L = [[None] * n for _ in range(n)]
+    inv_diag = [None] * n
+    for i in range(n):
+        for j in range(i + 1):
+            s = M[i][j]
+            for k in range(j):
+                s = sub(s, mul(L[i][k], L[j][k]))
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, eps))
+                inv_diag[i] = 1.0 / L[i][j]
+            else:
+                L[i][j] = mul(s, inv_diag[j])
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = sub(s, mul(L[i][k], y[k]))
+        y[i] = mul(s, inv_diag[i])
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = sub(s, mul(L[k][i], x[k]))
+        x[i] = mul(s, inv_diag[i])
+    return x
+
+
+# ---------------------------------------------------------------------------
+# motor substep (dynamics.py:motor_substep, component form)
+# ---------------------------------------------------------------------------
+
+POSITION_GAIN = 0.1
+CTRL_POSITION = 0
+CTRL_VELOCITY = 1
+
+
+def motor_substep(mc: ModelConsts, q, qd, target, dt: float, control_mode: int,
+                  position_gain: float = POSITION_GAIN, tau_ext=None):
+    """One semi-implicit Euler substep with PyBullet motor semantics over
+    component lists; numerically identical to dynamics.py:motor_substep."""
+    ndof = mc.ndof
+    inv_dt = 1.0 / dt
+    if control_mode == CTRL_POSITION:
+        v_des = [mul(position_gain * inv_dt, sub(target[d], q[d]))
+                 for d in range(ndof)]
+    else:
+        v_des = list(target)
+    v_des = [jnp.clip(v_des[d], -mc.vel_limit[d], mc.vel_limit[d])
+             for d in range(ndof)]
+
+    qdd_des = [mul(inv_dt, sub(v_des[d], qd[d])) for d in range(ndof)]
+    bias = rnea(mc, q, qd, [0.0] * ndof)
+    M = crba(mc, q)
+    if tau_ext is None:
+        tau_ext = [0.0] * ndof
+    rhs_servo = [None] * ndof
+    for i in range(ndof):
+        s = sub(bias[i], tau_ext[i])
+        for j in range(ndof):
+            s = add(s, mul(M[i][j], qdd_des[j]))
+        rhs_servo[i] = s
+    tau_c = [jnp.clip(rhs_servo[d], -mc.effort[d], mc.effort[d])
+             for d in range(ndof)]
+
+    rhs = [add(sub(tau_c[d], bias[d]), tau_ext[d]) for d in range(ndof)]
+    qdd = cholesky_solve(M, rhs)
+
+    qd_new = [add(qd[d], mul(dt, qdd[d])) for d in range(ndof)]
+    q_new = [add(q[d], mul(dt, qd_new[d])) for d in range(ndof)]
+    q_cl = [jnp.clip(q_new[d], mc.q_lo[d], mc.q_hi[d]) for d in range(ndof)]
+    qd_out = [jnp.where(q_cl[d] != q_new[d], 0.0, qd_new[d])
+              for d in range(ndof)]
+    return q_cl, qd_out
+
+
+def make_batched_motor_steps(model: ChainModel, *, n_substeps: int, dt: float,
+                             ctrl_mode: int):
+    """Batched n-substep robot physics: (B, ndof) in/out, batch-last layout
+    internally, substeps under lax.scan with component-tuple carry."""
+    mc = consts_from_model(model)
+    ndof = mc.ndof
+
+    def step(q, qd, target):
+        tgt = tuple(target[:, d] for d in range(ndof))
+
+        def body(carry, _):
+            qc, qdc = carry
+            q2, qd2 = motor_substep(mc, list(qc), list(qdc), list(tgt), dt,
+                                    ctrl_mode)
+            return (tuple(q2), tuple(qd2)), None
+
+        carry0 = (tuple(q[:, d] for d in range(ndof)),
+                  tuple(qd[:, d] for d in range(ndof)))
+        (qc, qdc), _ = jax.lax.scan(body, carry0, None, length=n_substeps)
+        return jnp.stack(qc, axis=-1), jnp.stack(qdc, axis=-1)
+
+    return step

@@ -79,7 +79,7 @@ class VectorEnv:
                 action = learner.act(ts, x, k_act, deterministic=True)
             else:
                 action = learner.act(ts, x, k_act)
-            nstates, nobs, reward, term, trunc, info = jax.vmap(core.step)(
+            nstates, nobs, reward, term, trunc, info = core.batched_step(
                 states, action)
             step_done = term | trunc
             # freeze finished envs

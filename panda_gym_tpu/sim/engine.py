@@ -362,3 +362,46 @@ def make_physics_step(
         return out
 
     return physics_step
+
+
+def make_batched_physics_step(
+    model: ChainModel,
+    scene: SceneParams,
+    *,
+    n_substeps: int = 20,
+    ctrl_mode: int = D.CTRL_POSITION,
+    robot_contact: bool = False,
+    body_pairs: Sequence[Tuple[int, int]] = (),
+    check_collision: bool = False,
+    collision_safety_distance: float = 0.0,
+    freeze_on_collision: bool = True,
+    has_bodies: bool = True,
+    moving_obstacles: bool = False,
+):
+    """Batch-native physics step over a batched EnvState, or None.
+
+    For configurations whose per-substep work is robot-only (no free bodies,
+    no contact, no per-substep collision check — Reach & friends), the motor
+    dynamics run in batch-last scalarized layout (ops/scalarized.py): every
+    spatial component is a (B,) vector across the full VPU instead of a
+    3-lane slice, ~8x faster than vmap of the per-env path on TPU.  Returns
+    None when the configuration needs the general per-env substep (callers
+    fall back to vmap(make_physics_step(...))).
+    """
+    if (has_bodies and scene.nb > 0) or robot_contact or body_pairs or check_collision:
+        return None
+    from panda_gym_tpu.ops import scalarized as S
+
+    motor = S.make_batched_motor_steps(
+        model, n_substeps=n_substeps, dt=TIMESTEP, ctrl_mode=ctrl_mode)
+
+    def physics_step_batched(states: EnvState) -> EnvState:
+        q, qd = motor(states.q, states.qd, states.ctrl_target)
+        upd = dict(q=q, qd=qd)
+        if moving_obstacles:
+            upd["obstacle_pos"] = (
+                states.obstacle_pos
+                + (n_substeps * TIMESTEP) * states.obstacle_vel)
+        return states.replace(**upd)
+
+    return physics_step_batched

@@ -159,3 +159,55 @@ def test_joint_limit_clamp(model):
     qd = jnp.full(7, 10.0)  # huge outward velocity
     q2, qd2 = D.motor_substep(model, q, qd, q + 1.0, dt, D.CTRL_POSITION)
     assert (np.asarray(q2) <= np.asarray(model.q_hi) + 1e-6).all()
+
+
+def test_scalarized_batched_matches_per_env(model):
+    """Batch-last scalarized motor dynamics (ops/scalarized.py) must be
+    numerically equivalent to the per-env Featherstone path over a full
+    20-substep policy step."""
+    from panda_gym_tpu.ops import scalarized as S
+
+    dt = 1.0 / 500.0
+    B = 16
+    rng = np.random.default_rng(7)
+    lo, hi = np.asarray(model.q_lo), np.asarray(model.q_hi)
+    q = jnp.asarray(rng.uniform(lo, hi, (B, model.ndof)), jnp.float32)
+    qd = jnp.asarray(rng.normal(0, 0.5, (B, model.ndof)), jnp.float32)
+    tgt = jnp.asarray(np.asarray(q) + rng.normal(0, 0.05, (B, model.ndof)),
+                      jnp.float32)
+
+    def per_env(q, qd, tgt):
+        def body(c, _):
+            q, qd = c
+            q, qd = D.motor_substep(model, q, qd, tgt, dt, D.CTRL_POSITION)
+            return (q, qd), None
+        (q, qd), _ = jax.lax.scan(body, (q, qd), None, length=20)
+        return q, qd
+
+    q1, qd1 = jax.jit(jax.vmap(per_env))(q, qd, tgt)
+    step = S.make_batched_motor_steps(model, n_substeps=20, dt=dt,
+                                      ctrl_mode=S.CTRL_POSITION)
+    q2, qd2 = jax.jit(step)(q, qd, tgt)
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(qd1), np.asarray(qd2), atol=2e-3)
+
+
+def test_batched_step_matches_vmap_step():
+    """core.batched_step (batch-native physics) vs vmap(core.step)."""
+    from panda_gym_tpu.envs.panda_tasks import make_reach_core
+
+    core = make_reach_core()
+    assert core.physics_step_batched is not None
+    keys = jax.random.split(jax.random.PRNGKey(3), 8)
+    states, obs = jax.jit(jax.vmap(core.reset))(keys)
+    rng = np.random.default_rng(1)
+    for _ in range(3):
+        actions = jnp.asarray(rng.uniform(-1, 1, (8, core.robot.action_dim)),
+                              jnp.float32)
+        s1, o1, r1, t1, tr1, _ = jax.jit(jax.vmap(core.step))(states, actions)
+        s2, o2, r2, t2, tr2, _ = jax.jit(core.batched_step)(states, actions)
+        np.testing.assert_allclose(np.asarray(o1["observation"]),
+                                   np.asarray(o2["observation"]), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
+        assert (np.asarray(t1) == np.asarray(t2)).all()
+        states = s2
