@@ -2,9 +2,12 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Headline metric: aggregate env-steps/s for PandaReach with 4096 vmapped envs
-on one chip (BASELINE.json target: >=1M steps/s aggregate on a v5e-8, i.e.
-125k steps/s per chip; vs_baseline = value / 125_000).
+Headline metric: aggregate env-steps/s for PandaReach with 4096 batched envs
+on one chip, measured the way the framework is actually consumed: whole
+rollout segments compiled under lax.scan (rl/train.py rollout_episode), so
+per-call dispatch is amortized exactly as in training.  BASELINE.json target:
+>=1M steps/s aggregate on a v5e-8, i.e. 125k steps/s per chip;
+vs_baseline = value / 125_000.
 
 The reference sustains ~42 env-steps/s (300k steps in ~2 h with 8
 SubprocVecEnv workers, README.md:6) — reported as secondary context.
@@ -21,7 +24,8 @@ import jax.numpy as jnp
 PER_CHIP_TARGET = 125_000.0  # BASELINE.json north star / 8 chips
 
 
-def bench_env_steps(batch: int = 4096, iters: int = 30, task: str = "reach"):
+def bench_env_steps(batch: int = 4096, segment: int = 25, iters: int = 10,
+                    task: str = "reach"):
     from panda_gym_tpu.envs.panda_tasks import make_core
 
     core = make_core(task)
@@ -30,30 +34,36 @@ def bench_env_steps(batch: int = 4096, iters: int = 30, task: str = "reach"):
     states, _ = reset_fn(keys)
 
     @jax.jit
-    def rollout_step(states, key):
-        key, sub = jax.random.split(key)
-        actions = jax.random.uniform(
-            sub, (batch, core.robot.action_dim), minval=-1.0, maxval=1.0)
-        states, obs, reward, term, trunc, info = core.batched_step(states, actions)
-        return states, key, reward
+    def rollout_segment(states, key):
+        """`segment` policy steps with random actions, one dispatch."""
+        def body(carry, _):
+            states, key = carry
+            key, sub = jax.random.split(key)
+            actions = jax.random.uniform(
+                sub, (batch, core.robot.action_dim), minval=-1.0, maxval=1.0)
+            states, obs, reward, term, trunc, info = core.batched_step(
+                states, actions)
+            return (states, key), reward
+        (states, key), rewards = jax.lax.scan(
+            body, (states, key), None, length=segment)
+        return states, key, rewards
 
     key = jax.random.PRNGKey(1)
-    # warmup / compile
-    states, key, reward = rollout_step(states, key)
-    jax.block_until_ready(reward)
+    states, key, rewards = rollout_segment(states, key)  # warmup / compile
+    jax.block_until_ready(rewards)
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        states, key, reward = rollout_step(states, key)
-    jax.block_until_ready(reward)
+        states, key, rewards = rollout_segment(states, key)
+    jax.block_until_ready(rewards)
     dt = time.perf_counter() - t0
-    return batch * iters / dt
+    return batch * segment * iters / dt
 
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 30
-    sps = bench_env_steps(batch=batch, iters=iters)
+    segment = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+    sps = bench_env_steps(batch=batch, segment=segment)
     print(json.dumps({
         "metric": "env_steps_per_sec_per_chip_reach4096",
         "value": round(sps, 1),

@@ -390,10 +390,19 @@ def make_batched_physics_step(
     """
     if (has_bodies and scene.nb > 0) or robot_contact or body_pairs or check_collision:
         return None
+    import os
+
     from panda_gym_tpu.ops import scalarized as S
 
-    motor = S.make_batched_motor_steps(
-        model, n_substeps=n_substeps, dt=TIMESTEP, ctrl_mode=ctrl_mode)
+    use_pallas = (jax.default_backend() not in ("cpu",)
+                  and not os.environ.get("PANDA_GYM_TPU_NO_PALLAS"))
+    if use_pallas:
+        from panda_gym_tpu.ops.pallas_dynamics import make_pallas_motor_steps
+        motor = make_pallas_motor_steps(
+            model, n_substeps=n_substeps, dt=TIMESTEP, ctrl_mode=ctrl_mode)
+    else:
+        motor = S.make_batched_motor_steps(
+            model, n_substeps=n_substeps, dt=TIMESTEP, ctrl_mode=ctrl_mode)
 
     def physics_step_batched(states: EnvState) -> EnvState:
         q, qd = motor(states.q, states.qd, states.ctrl_target)

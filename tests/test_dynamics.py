@@ -211,3 +211,28 @@ def test_batched_step_matches_vmap_step():
         np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
         assert (np.asarray(t1) == np.asarray(t2)).all()
         states = s2
+
+
+def test_pallas_kernel_matches_scalarized(model):
+    """The Pallas motor kernel (interpret mode on CPU) must reproduce the
+    scalarized batched path it wraps."""
+    from panda_gym_tpu.ops import scalarized as S
+    from panda_gym_tpu.ops.pallas_dynamics import make_pallas_motor_steps
+
+    dt = 1.0 / 500.0
+    B = 24  # deliberately not a multiple of 128: exercises padding
+    rng = np.random.default_rng(11)
+    lo, hi = np.asarray(model.q_lo), np.asarray(model.q_hi)
+    q = jnp.asarray(rng.uniform(lo, hi, (B, model.ndof)), jnp.float32)
+    qd = jnp.asarray(rng.normal(0, 0.5, (B, model.ndof)), jnp.float32)
+    tgt = jnp.asarray(np.asarray(q) + rng.normal(0, 0.05, (B, model.ndof)),
+                      jnp.float32)
+
+    f_s = jax.jit(S.make_batched_motor_steps(
+        model, n_substeps=5, dt=dt, ctrl_mode=S.CTRL_POSITION))
+    f_p = make_pallas_motor_steps(
+        model, n_substeps=5, dt=dt, ctrl_mode=S.CTRL_POSITION, interpret=True)
+    q1, qd1 = f_s(q, qd, tgt)
+    q2, qd2 = f_p(q, qd, tgt)
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(qd1), np.asarray(qd2), atol=2e-3)
