@@ -26,6 +26,23 @@ from panda_gym_tpu.sim import engine
 from panda_gym_tpu.sim.state import EnvState, SceneParams
 
 
+def _hi_prec(fn):
+    """Trace `fn` under f32-highest matmul precision.
+
+    The physics/kinematics paths are built from (3,3) matmuls that cost
+    nothing but, on TPU, default to bf16 MXU passes — enough error to break
+    trajectory parity with the reference and with the batch-last scalarized
+    path (which is elementwise and always full f32).  Scoped here so user
+    networks keep the fast default."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*a, **kw):
+        with jax.default_matmul_precision("highest"):
+            return fn(*a, **kw)
+    return wrapped
+
+
 class Task:
     """Base task: scene + goal lifecycle + reward contract (core.py:212-252).
 
@@ -104,9 +121,12 @@ class RobotTaskEnv:
         )
         self.physics_step = engine.make_physics_step(
             robot.model, task.scene, **physics_kw)
-        # batch-native fast path (None -> vmap fallback in batched_step)
+        # batch-native fast paths (None -> vmap fallback in batched_step)
         self.physics_step_batched = engine.make_batched_physics_step(
             robot.model, task.scene, **physics_kw)
+        self.step_post_batched = (
+            task.make_step_post_batched(self)
+            if hasattr(task, "make_step_post_batched") else None)
         # derive dims from a template rollout
         self._template = self.init_state(jax.random.PRNGKey(0))
 
@@ -140,6 +160,7 @@ class RobotTaskEnv:
         )
 
     # ------------------------------------------------------------------
+    @_hi_prec
     def reset(self, key) -> Tuple[EnvState, Dict[str, jnp.ndarray]]:
         """Pure reset: sample robot pose + goal + scene (core.py:298-308)."""
         k_state, k_robot, k_task = jax.random.split(key, 3)
@@ -163,12 +184,14 @@ class RobotTaskEnv:
             "desired_goal": state.goal.astype(jnp.float32),
         }
 
+    @_hi_prec
     def step(self, state: EnvState, action):
         """Pure step (core.py:352-368): set_action -> physics -> obs/reward."""
         state = self.robot.set_action(state, action)
         state = self.physics_step(state)
         return self._step_post(state)
 
+    @_hi_prec
     def _step_post(self, state: EnvState):
         """Everything after the physics substeps: obs/reward/termination."""
         state = state.replace(steps=state.steps + 1)
@@ -205,8 +228,10 @@ class RobotTaskEnv:
         make_batched_physics_step), else vmap of the per-env step."""
         if self.physics_step_batched is None:
             return jax.vmap(self.step)(states, actions)
-        states = jax.vmap(self.robot.set_action)(states, actions)
+        states = _hi_prec(jax.vmap(self.robot.set_action))(states, actions)
         states = self.physics_step_batched(states)
+        if self.step_post_batched is not None:
+            return self.step_post_batched(states)
         return jax.vmap(self._step_post)(states)
 
 

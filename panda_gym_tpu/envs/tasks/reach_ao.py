@@ -746,6 +746,10 @@ class ReachAO(Task):
             return jnp.asarray(False)  # reach_ao.py:84-86
         return state.is_collided  # :1263-1264
 
+    def make_step_post_batched(self, env):
+        """Batch-native obs/reward assembly (see _make_step_post_batched)."""
+        return _make_step_post_batched(self, env)
+
     def reward_aux(self, env, state):
         """State-dependent reward terms, stored per transition so HER can
         relabel every reward type exactly: [collided, ee_speed, effort, jerk,
@@ -842,3 +846,127 @@ class PandaReachAOEnv(GymAdapter):
             scenario=scenario, config=config,
             ee_error_threshold=ee_error_threshold,
             speed_threshold=speed_threshold))
+
+
+# ---------------------------------------------------------------------------
+# batch-native post-step (obs/reward assembly without per-env vmap)
+# ---------------------------------------------------------------------------
+
+def _make_step_post_batched(task: "ReachAO", env: RobotTaskEnv):
+    """Batched equivalent of RobotTaskEnv._step_post for ReachAO.
+
+    The vmapped per-env obs path (fk_world + two group_obstacle_distances
+    calls with argmin/gather reductions) leaves TPU lanes idle; this
+    assembles the identical observations/rewards in batch-last component
+    form (ops/scalarized.py).  Returns None when a feature needs the
+    per-env fallback (the NEO prior observation)."""
+    from panda_gym_tpu.ops import scalarized as S
+    from panda_gym_tpu.ops.scalarized_collision import (
+        _cap_radius_col, _obstacle_comps, group_obstacle_closest,
+        obstacle_distance_sweep, stack_caps,
+    )
+
+    if task.prior is not None:
+        return None
+
+    robot = env.robot
+    mc = S.consts_from_model(robot.model)
+    ndof, ngroup = mc.ndof, mc.ngroup
+    n_obstacles = task.n_obstacles
+    mode = task.obstacle_obs
+    obs_type = robot.config.obs_type
+    n_arm = robot.n_arm
+    ee_site = robot.ee_site
+
+    def post(states):
+        B = states.q.shape[0]
+        q = tuple(states.q[:, d] for d in range(ndof))
+        qd = tuple(states.qd[:, d] for d in range(ndof))
+        Rs, ps, oms, vs = S.fk_full(mc, q, qd)
+        ee_p, ee_v = S.site_com_pos_vel(mc, Rs, ps, oms, vs, ee_site)
+        ee_pos = jnp.stack(ee_p, axis=-1)
+        ee_vel = jnp.stack(ee_v, axis=-1)
+
+        # per-group distances + closest point pairs
+        p0s, p1s = S.capsule_endpoints(mc, Rs, ps)
+        P0, P1 = stack_caps(p0s), stack_caps(p1s)
+        opos, osize, is_box, active = _obstacle_comps(states, n_obstacles)
+        D, PC, PO = obstacle_distance_sweep(
+            mc, P0, P1, _cap_radius_col(mc), opos, osize, is_box, active,
+            n_obstacles, 999.0, with_points=True)
+        best = group_obstacle_closest(mc, D, PC, PO, 999.0)
+        gd = jnp.stack([best[g][0] for g in range(ngroup)], axis=-1)  # (B,G)
+
+        # unit vectors link -> closest obstacle point (utils.unit_vector)
+        vec_parts = []
+        for g in range(ngroup):
+            _, pc_g, po_g = best[g]
+            v = S.vsub(po_g, pc_g)
+            n = jnp.sqrt(jnp.maximum(S.vdot(v, v), 0.0))
+            pos_n = jnp.where(n > 0, n, 1.0)
+            vec_parts += [jnp.where(n > 0, v[k] / pos_n, 0.0)
+                          for k in range(3)]
+        vec = jnp.stack(vec_parts, axis=-1)  # (B, 3*G), group-major
+
+        states = states.replace(steps=states.steps + 1,
+                                link_obstacle_dist=gd)
+        if mode in ("vectors", "vectors+past"):
+            past = jnp.concatenate(
+                [states.past_obs[:, 1:], vec[:, None, :]], axis=1)
+            states = states.replace(past_obs=past)
+
+        # robot obs (panda.py:264-288 ordering)
+        parts = []
+        if "ee" in obs_type:
+            parts += [ee_pos, ee_vel]
+        if "js" in obs_type:
+            parts += [states.q[:, :n_arm], states.qd[:, :n_arm]]
+        robot_obs = jnp.concatenate(parts, axis=-1)
+
+        # task obs per obstacle-observation mode (reach_ao.py:902-941)
+        if mode == "closest_per_link":
+            t_obs = gd
+        elif mode == "closest":
+            t_obs = jnp.min(gd, axis=-1, keepdims=True)
+        elif mode == "vectors":
+            t_obs = states.past_obs[:, -1]
+        elif mode == "vectors+past":
+            t_obs = states.past_obs.reshape(B, -1)
+        else:  # "vectors+closest_per_link"
+            t_obs = jnp.concatenate([gd, vec], axis=-1)
+
+        achieved = ee_pos
+        desired = states.goal
+        obs = {
+            "observation": jnp.concatenate(
+                [robot_obs, t_obs], axis=-1).astype(jnp.float32),
+            "achieved_goal": achieved.astype(jnp.float32),
+            "desired_goal": desired.astype(jnp.float32),
+        }
+
+        d = distance(achieved, desired)
+        ee_speed = jnp.linalg.norm(ee_vel, axis=-1)
+        if task.config.goal_condition == "halt":
+            reached = (d < task.ee_error_threshold) & \
+                (ee_speed < task.ee_speed_threshold)
+            success = states.goal_reached | reached
+            states = states.replace(goal_reached=success)
+        else:
+            success = d < task.ee_error_threshold
+        terminated = success if env.terminate_on_success \
+            else jnp.zeros(B, bool)
+        truncated = states.is_collided if task.truncate_on_collision \
+            else jnp.zeros(B, bool)
+
+        reward = task._reward(
+            achieved, desired,
+            collided=states.is_collided.astype(jnp.float32),
+            ee_speed=ee_speed,
+            effort=jnp.linalg.norm(states.cur_jacc, axis=-1),
+            jerk=jnp.linalg.norm(states.cur_jerk, axis=-1),
+            obst_pen=jnp.sum(jnp.maximum(0.0, 1.0 - gd / 0.05), axis=-1),
+        ).astype(jnp.float32)
+        info = {"is_success": success, "is_truncated": truncated}
+        return states, obs, reward, terminated, truncated, info
+
+    return post

@@ -224,6 +224,18 @@ class ModelConsts:
     q_hi: Tuple[float, ...]
     effort: Tuple[float, ...]
     vel_limit: Tuple[float, ...]
+    # kinematics / collision tables (for scalarized FK & distance kernels)
+    base_pos: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    cap_body: Tuple[int, ...] = ()
+    cap_p0: Tuple = ()
+    cap_p1: Tuple = ()
+    cap_radius: Tuple[float, ...] = ()
+    cap_group: Tuple[int, ...] = ()
+    ngroup: int = 0
+    site_body: Tuple[int, ...] = ()
+    site_R: Tuple = ()
+    site_p: Tuple = ()
+    site_com: Tuple = ()
 
 
 def consts_from_model(model: ChainModel) -> ModelConsts:
@@ -242,7 +254,117 @@ def consts_from_model(model: ChainModel) -> ModelConsts:
         q_hi=tuple(float(x) for x in g(model.q_hi)),
         effort=tuple(float(x) for x in g(model.effort)),
         vel_limit=tuple(float(x) for x in g(model.vel_limit)),
+        base_pos=cvec(g(model.base_pos)),
+        cap_body=model.cap_body_tuple,
+        cap_p0=tuple(cvec(v) for v in g(model.cap_p0)),
+        cap_p1=tuple(cvec(v) for v in g(model.cap_p1)),
+        cap_radius=tuple(float(x) for x in g(model.cap_radius)),
+        cap_group=model.cap_group_tuple,
+        ngroup=model.ngroup,
+        site_body=model.site_body_tuple,
+        site_R=tuple(cmat(m) for m in g(model.site_R)),
+        site_p=tuple(cvec(v) for v in g(model.site_p)),
+        site_com=tuple(cvec(v) for v in g(model.site_com)),
     )
+
+
+# ---------------------------------------------------------------------------
+# forward kinematics (positions) in component form (kinematics.py:fk_world)
+# ---------------------------------------------------------------------------
+
+def fk_positions(mc: ModelConsts, q):
+    """World rotation + origin of each dof body; component form.
+
+    Returns (R_list, p_list): per dof a mat3 / vec3 of scalars.  Mirrors
+    kinematics.py:fk_world's position part exactly (the collision check in
+    engine.substep only consumes positions).
+    """
+    Rs: List = []
+    ps: List = []
+    for d in range(mc.ndof):
+        pd = mc.parent[d]
+        if pd < 0:
+            R_par, p_par = I3, mc.base_pos
+        else:
+            R_par, p_par = Rs[pd], ps[pd]
+        R_f = mm(R_par, mc.X_R[d])
+        p_f = vadd(mv(R_par, mc.X_p[d]), p_par)
+        if mc.revolute[d]:
+            c, s = jnp.cos(q[d]), jnp.sin(q[d])
+            R_b = mm(R_f, axis_angle(mc.axis[d], c, s))
+            p_b = p_f
+        else:
+            R_b = R_f
+            a_w = mv(R_f, mc.axis[d])
+            p_b = vadd(p_f, vscale(q[d], a_w))
+        Rs.append(R_b)
+        ps.append(p_b)
+    return Rs, ps
+
+
+def fk_full(mc: ModelConsts, q, qd):
+    """World rotation/origin/angular velocity/linear velocity per dof body;
+    component form of kinematics.py:fk_world (with velocities)."""
+    Rs: List = []
+    ps: List = []
+    oms: List = []
+    vs: List = []
+    for d in range(mc.ndof):
+        pd = mc.parent[d]
+        if pd < 0:
+            R_par, p_par, om_par, v_par = I3, mc.base_pos, V0, V0
+        else:
+            R_par, p_par, om_par, v_par = Rs[pd], ps[pd], oms[pd], vs[pd]
+        R_f = mm(R_par, mc.X_R[d])
+        p_f = vadd(mv(R_par, mc.X_p[d]), p_par)
+        a_w = mv(R_f, mc.axis[d])
+        if mc.revolute[d]:
+            c, s = jnp.cos(q[d]), jnp.sin(q[d])
+            R_b = mm(R_f, axis_angle(mc.axis[d], c, s))
+            p_b = p_f
+            om_b = vadd(om_par, vscale(qd[d], a_w))
+            v_b = vadd(v_par, vcross(om_par, vsub(p_b, p_par)))
+        else:
+            R_b = R_f
+            p_b = vadd(p_f, vscale(q[d], a_w))
+            om_b = om_par
+            v_b = vadd(vadd(v_par, vcross(om_par, vsub(p_b, p_par))),
+                       vscale(qd[d], a_w))
+        Rs.append(R_b)
+        ps.append(p_b)
+        oms.append(om_b)
+        vs.append(v_b)
+    return Rs, ps, oms, vs
+
+
+def site_com_pos_vel(mc: ModelConsts, Rs, ps, oms, vs, s: int):
+    """World CoM position + linear velocity of URDF link (site) s; component
+    form of kinematics.py:site_com_position/site_com_velocity."""
+    b = mc.site_body[s]
+    if b < 0:
+        R_b, p_b, om_b, v_b = I3, mc.base_pos, V0, V0
+    else:
+        R_b, p_b, om_b, v_b = Rs[b], ps[b], oms[b], vs[b]
+    R_s = mm(R_b, mc.site_R[s])
+    p_s = vadd(mv(R_b, mc.site_p[s]), p_b)
+    x = vadd(mv(R_s, mc.site_com[s]), p_s)
+    v = vadd(v_b, vcross(om_b, vsub(x, p_b)))
+    return x, v
+
+
+def capsule_endpoints(mc: ModelConsts, Rs, ps):
+    """World endpoints of every collision capsule (kinematics.py:
+    capsule_endpoints_world, component form)."""
+    p0s, p1s = [], []
+    for i in range(len(mc.cap_body)):
+        b = mc.cap_body[i]
+        if b < 0:
+            p0s.append(vadd(mc.base_pos, mc.cap_p0[i]))
+            p1s.append(vadd(mc.base_pos, mc.cap_p1[i]))
+        else:
+            p0s.append(vadd(ps[b], mv(Rs[b], mc.cap_p0[i])))
+            p1s.append(vadd(ps[b], mv(Rs[b], mc.cap_p1[i])))
+    return p0s, p1s
 
 
 # ---------------------------------------------------------------------------

@@ -150,8 +150,14 @@ def _raster(tris, colors, width, height, light=(0.4, -0.6, 0.8)):
 def render_env(env_adapter, width=720, height=480, target_position=None,
                distance=1.4, yaw=45, pitch=-30, roll=0):
     """Render the current state of a GymAdapter env (core.py:373-414 args)."""
-    core = env_adapter.env
-    state = env_adapter.state
+    return render_state(env_adapter.env, env_adapter.state, width=width,
+                        height=height, target_position=target_position,
+                        distance=distance, yaw=yaw, pitch=pitch, roll=roll)
+
+
+def render_state(core, state, width=720, height=480, target_position=None,
+                 distance=1.4, yaw=45, pitch=-30, roll=0):
+    """Render an EnvState of a functional core (no adapter needed)."""
     model = core.model
     scene = core.task.scene
 

@@ -327,7 +327,12 @@ class DDPGLearner(TD3Learner):
 
 
 def make_learner(algorithm: str, obs_dim: int, act_dim: int, hp):
-    """Algorithm dispatch (setup_training.py:100-115)."""
+    """Algorithm dispatch (setup_training.py:100-115; + PPO, which the
+    reference ships a preset for, hyperparameters.py:55-70, but never wires
+    into its dispatch)."""
+    if algorithm == "PPO":
+        from panda_gym_tpu.rl.ppo import PPOLearner
+        return PPOLearner(obs_dim, act_dim, hp)
     algos = {"SAC": SACLearner, "TQC": TQCLearner, "TQC_v2": TQCLearner,
              "TD3": TD3Learner, "DDPG": DDPGLearner}
     if algorithm not in algos:

@@ -106,3 +106,29 @@ class QCritic(nn.Module):
         )
         return vmapped(hidden=self.hidden, out_dim=self.out_dim)(x)
         # shape: (n_critics, batch, out_dim)
+
+
+class GaussianPolicy(nn.Module):
+    """Unsquashed diagonal-Gaussian policy with a state-independent log-std
+    parameter (SB3 PPO MlpPolicy semantics; hyperparameters.py:56-70
+    log_std_init=-2)."""
+
+    action_dim: int
+    hidden: Sequence[int] = (256, 256)
+    log_std_init: float = -2.0
+
+    @nn.compact
+    def __call__(self, x):
+        for h in self.hidden:
+            x = nn.relu(nn.Dense(h)(x))
+        mean = nn.Dense(self.action_dim)(x)
+        log_std = self.param(
+            "log_std", nn.initializers.constant(self.log_std_init),
+            (self.action_dim,))
+        return mean, jnp.broadcast_to(log_std, mean.shape)
+
+
+def gaussian_logp(mean, log_std, a):
+    z = (a - mean) / jnp.exp(log_std)
+    return jnp.sum(-0.5 * z ** 2 - log_std - 0.5 * jnp.log(2 * jnp.pi),
+                   axis=-1)

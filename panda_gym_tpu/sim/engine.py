@@ -207,7 +207,10 @@ def group_obstacle_distances(model: ChainModel, fk, state: EnvState,
     group_po = []
     for g in range(ngroup):
         m = g_of_flat == g
-        dg = jnp.where(m, flat_d, max_distance)
+        # non-group entries strictly worse than max_distance so the argmin
+        # lands on the group's own first candidate even when every candidate
+        # is inactive (keeps per-env and batched paths bit-identical)
+        dg = jnp.where(m, flat_d, max_distance + 1.0)
         i = jnp.argmin(dg)
         group_d.append(dg[i])
         group_pc.append(flat_pc[i])
@@ -388,11 +391,35 @@ def make_batched_physics_step(
     None when the configuration needs the general per-env substep (callers
     fall back to vmap(make_physics_step(...))).
     """
-    if (has_bodies and scene.nb > 0) or robot_contact or body_pairs or check_collision:
+    if (has_bodies and scene.nb > 0) or robot_contact or body_pairs:
         return None
     import os
 
     from panda_gym_tpu.ops import scalarized as S
+
+    if check_collision:
+        # ReachAO configuration: per-substep collision checking, batched
+        # (ops/scalarized_collision.py). n_obstacles comes from the state at
+        # call time, so wrap lazily.
+        from panda_gym_tpu.ops.scalarized_collision import (
+            make_batched_collision_physics,
+        )
+
+        cache = {}
+
+        def physics_step_collision(states: EnvState) -> EnvState:
+            no = states.obstacle_pos.shape[1]
+            if no not in cache:
+                cache[no] = make_batched_collision_physics(
+                    model, scene,
+                    n_substeps=n_substeps, dt=TIMESTEP, ctrl_mode=ctrl_mode,
+                    n_obstacles=no,
+                    collision_safety_distance=collision_safety_distance,
+                    freeze_on_collision=freeze_on_collision,
+                    moving_obstacles=moving_obstacles)
+            return cache[no](states)
+
+        return physics_step_collision
 
     use_pallas = (jax.default_backend() not in ("cpu",)
                   and not os.environ.get("PANDA_GYM_TPU_NO_PALLAS"))

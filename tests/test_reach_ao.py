@@ -125,3 +125,31 @@ def test_halt_goal_condition_latches():
     assert info["is_success"]
     assert bool(env.state.goal_reached)
     env.close()
+
+
+def test_batched_step_matches_per_env():
+    """Full batched ReachAO step (scalarized collision physics + batch-native
+    obs/reward assembly) must be numerically equivalent to vmap of the
+    per-env path."""
+    core = rao.make_reach_ao_core("reachao1")
+    assert core.physics_step_batched is not None
+    assert core.step_post_batched is not None
+    B = 4
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    states, _ = jax.jit(jax.vmap(core.reset))(keys)
+    rng = np.random.default_rng(5)
+    s1, s2 = states, states
+    f1 = jax.jit(jax.vmap(core.step))
+    f2 = jax.jit(core.batched_step)
+    for _ in range(2):
+        a = jnp.asarray(rng.uniform(-1, 1, (B, core.robot.action_dim)),
+                        jnp.float32)
+        s1, o1, r1, t1, tr1, i1 = f1(s1, a)
+        s2, o2, r2, t2, tr2, i2 = f2(s2, a)
+        np.testing.assert_allclose(np.asarray(s1.q), np.asarray(s2.q),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(o1["observation"]),
+                                   np.asarray(o2["observation"]), atol=5e-4)
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
+        assert (np.asarray(s1.is_collided) == np.asarray(s2.is_collided)).all()
+        assert (np.asarray(i1["is_success"]) == np.asarray(i2["is_success"])).all()

@@ -151,3 +151,53 @@ def test_trainer_smoke():
     tr.learn(seed=0)
     assert tr.timesteps >= 40
     assert any("rollout_success" in r for r in tr.metrics.history)
+
+
+def test_ppo_smoke():
+    """PPO learner end-to-end: rollout collection with auto-reset + timeout
+    bootstrap, GAE, clipped-surrogate minibatch epochs."""
+    from panda_gym_tpu.envs.panda_tasks import make_reach_core
+    from panda_gym_tpu.rl.config import Hyperparameters
+    from panda_gym_tpu.rl.ppo import train_ppo
+
+    core = make_reach_core(reward_type="dense")
+    hp = Hyperparameters("PPO")
+    hp.n_steps = 8
+    hp.n_epochs = 2
+    hp.batch_size = 16
+    learner, ts, hist = train_ppo(core, hp, total_steps=2 * 8 * 4, n_envs=4,
+                                  seed=0, max_episode_steps=10)
+    assert len(hist) == 2
+    for m in hist:
+        for k, v in m.items():
+            assert np.isfinite(v), (k, v)
+
+
+def test_sweep_sampling_and_driver(tmp_path):
+    """Sweep spec sampling (uniform/int/categorical x random/halton/grid) and
+    the driver's scoring/failure handling."""
+    from panda_gym_tpu.rl import sweep as sw
+
+    space = {"lr": sw.Uniform(1e-4, 1e-2, log=True),
+             "bs": sw.IntUniform(64, 512),
+             "arch": sw.Categorical(((256,), (256, 256)))}
+    for method in ("random", "halton", "grid"):
+        cfgs = sw.sample_configs(space, 5, method)
+        assert len(cfgs) >= 1
+        for c in cfgs:
+            assert 1e-4 <= c["lr"] <= 1e-2
+            assert 64 <= c["bs"] <= 512
+            assert c["arch"] in ((256,), (256, 256))
+
+    calls = []
+    def fake_train(cfg, seed):
+        calls.append(cfg)
+        if len(calls) == 2:
+            raise RuntimeError("diverged")
+        return {"global_step": 1000.0 * len(calls)}
+
+    trials = sw.run_sweep(fake_train, space, n_trials=3,
+                          out_path=str(tmp_path / "s.jsonl"))
+    assert len(trials) == 3
+    assert trials[0]["metrics"]["global_step"] == 1000.0  # best first
+    assert any("error" in t["metrics"] for t in trials)   # failure recorded
