@@ -882,7 +882,7 @@ def _make_step_post_batched(task: "ReachAO", env: RobotTaskEnv):
         B = states.q.shape[0]
         q = tuple(states.q[:, d] for d in range(ndof))
         qd = tuple(states.qd[:, d] for d in range(ndof))
-        Rs, ps, oms, vs = S.fk_full(mc, q, qd)
+        Rs, ps, oms, vs, _ = S.fk_full(mc, q, qd)
         ee_p, ee_v = S.site_com_pos_vel(mc, Rs, ps, oms, vs, ee_site)
         ee_pos = jnp.stack(ee_p, axis=-1)
         ee_vel = jnp.stack(ee_v, axis=-1)

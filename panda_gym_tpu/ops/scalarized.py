@@ -303,12 +303,13 @@ def fk_positions(mc: ModelConsts, q):
 
 
 def fk_full(mc: ModelConsts, q, qd):
-    """World rotation/origin/angular velocity/linear velocity per dof body;
-    component form of kinematics.py:fk_world (with velocities)."""
+    """World rotation/origin/angular velocity/linear velocity/joint axis per
+    dof body; component form of kinematics.py:fk_world (with velocities)."""
     Rs: List = []
     ps: List = []
     oms: List = []
     vs: List = []
+    aws: List = []
     for d in range(mc.ndof):
         pd = mc.parent[d]
         if pd < 0:
@@ -334,7 +335,8 @@ def fk_full(mc: ModelConsts, q, qd):
         ps.append(p_b)
         oms.append(om_b)
         vs.append(v_b)
-    return Rs, ps, oms, vs
+        aws.append(a_w)
+    return Rs, ps, oms, vs, aws
 
 
 def site_com_pos_vel(mc: ModelConsts, Rs, ps, oms, vs, s: int):
@@ -607,3 +609,91 @@ def make_batched_motor_steps(model: ChainModel, *, n_substeps: int, dt: float,
         return jnp.stack(qc, axis=-1), jnp.stack(qdc, axis=-1)
 
     return step
+
+
+# ---------------------------------------------------------------------------
+# batched damped-least-squares IK (kinematics.py:dls_ik, batch-last layout)
+# ---------------------------------------------------------------------------
+
+def site_frame_R(mc: ModelConsts, Rs, s: int):
+    b = mc.site_body[s]
+    R_b = I3 if b < 0 else Rs[b]
+    return mm(R_b, mc.site_R[s])
+
+
+def dls_ik_batched(mc: ModelConsts, ee_site: int, target_pos, target_quat,
+                   q0, *, n_iters: int = 10, damping: float = 0.05,
+                   n_arm: int = 7, step_clip: float = 0.5):
+    """Batched DLS-IK: target_pos (B, 3), q0 (B, ndof) -> (B, ndof).
+
+    Mirrors kinematics.py:dls_ik numerics (same Jacobian, damped normal
+    equations, step clip, joint-limit clamp), solved per env across the
+    full VPU via the scalar-component layout. target_quat is a constant
+    (x, y, z, w) orientation or None."""
+    import numpy as _np
+
+    ndof = mc.ndof
+    lam2 = damping * damping
+    zero_qd = [0.0] * ndof
+    tgt = tuple(target_pos[:, i] for i in range(3))
+    if target_quat is not None:
+        R_t = _np.zeros((3, 3))
+        x, y, z, w = [float(v) for v in _np.asarray(target_quat)]
+        R_t = _np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ])
+        R_t = cmat(R_t)
+        m = 6
+    else:
+        m = 3
+
+    def body(_, q):
+        qc = [q[:, d] for d in range(ndof)]
+        Rs, ps, _, _, aws = fk_full(mc, qc, zero_qd)
+        x, _ = site_com_pos_vel(mc, Rs, ps, [V0] * ndof, [V0] * ndof, ee_site)
+
+        # J columns (point_jacobian): revolute -> (a x (x - p), a)
+        cols_v, cols_w = [], []
+        for d in range(n_arm):
+            if mc.revolute[d]:
+                cols_v.append(vcross(aws[d], vsub(x, ps[d])))
+                cols_w.append(aws[d])
+            else:
+                cols_v.append(aws[d])
+                cols_w.append(V0)
+
+        e = [sub(tgt[i], x[i]) for i in range(3)]
+        rows = [tuple(cols_v[d][i] for d in range(n_arm)) for i in range(3)]
+        if target_quat is not None:
+            R_s = site_frame_R(mc, Rs, ee_site)
+            cur_cols = [tuple(R_s[i][k] for i in range(3)) for k in range(3)]
+            tgt_cols = [tuple(R_t[i][k] for i in range(3)) for k in range(3)]
+            e_r = V0
+            for k in range(3):
+                e_r = vadd(e_r, vcross(cur_cols[k], tgt_cols[k]))
+            e += [mul(0.5, e_r[i]) for i in range(3)]
+            rows += [tuple(cols_w[d][i] for d in range(n_arm))
+                     for i in range(3)]
+
+        # JJt = J J^T + lam2 I (m x m scalar entries)
+        JJt = [[None] * m for _ in range(m)]
+        for i in range(m):
+            for j in range(i + 1):
+                s = lam2 if i == j else 0.0
+                for d in range(n_arm):
+                    s = add(s, mul(rows[i][d], rows[j][d]))
+                JJt[i][j] = JJt[j][i] = s
+        y = cholesky_solve(JJt, e)
+        dq = [None] * n_arm
+        for d in range(n_arm):
+            s = 0.0
+            for i in range(m):
+                s = add(s, mul(rows[i][d], y[i]))
+            dq[d] = jnp.clip(s, -step_clip, step_clip)
+        q_arm = [jnp.clip(qc[d] + dq[d], mc.q_lo[d], mc.q_hi[d])
+                 for d in range(n_arm)]
+        return q.at[:, :n_arm].set(jnp.stack(q_arm, axis=-1))
+
+    return jax.lax.fori_loop(0, n_iters, body, q0)

@@ -52,6 +52,7 @@ class VectorEnv:
         self.goal_dim = probe_obs["achieved_goal"].shape[0]
         self.act_dim = core.robot.action_dim
         self.x_dim = self.obs_dim + 2 * self.goal_dim
+        self._rollout_cache = {}
 
     def batch_reset(self, key):
         keys = jax.random.split(key, self.n_envs)
@@ -59,6 +60,18 @@ class VectorEnv:
 
     def rollout_episode(self, learner, ts, key, deterministic=False,
                         policy_fn=None):
+        """Jit-cached wrapper over _rollout_episode: direct callers would
+        otherwise execute the whole rollout eagerly (measured ~2000x slower
+        on a TPU tunnel); the cache key is the (learner, flags) identity."""
+        k = (id(learner), bool(deterministic), id(policy_fn))
+        if k not in self._rollout_cache:
+            self._rollout_cache[k] = jax.jit(
+                lambda ts, key: self._rollout_episode(
+                    learner, ts, key, deterministic, policy_fn))
+        return self._rollout_cache[k](ts, key)
+
+    def _rollout_episode(self, learner, ts, key, deterministic=False,
+                         policy_fn=None):
         """One synchronous episode batch of `horizon` steps.
 
         Returns stacked episode tensors shaped for HerBuffer plus episode

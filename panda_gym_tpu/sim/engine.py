@@ -391,11 +391,20 @@ def make_batched_physics_step(
     None when the configuration needs the general per-env substep (callers
     fall back to vmap(make_physics_step(...))).
     """
-    if (has_bodies and scene.nb > 0) or robot_contact or body_pairs:
-        return None
     import os
 
     from panda_gym_tpu.ops import scalarized as S
+
+    if has_bodies and scene.nb > 0:
+        if check_collision or moving_obstacles:
+            return None  # no task combines free bodies with these; vmap path
+        from panda_gym_tpu.ops.scalarized_contact import (
+            make_batched_contact_physics,
+        )
+        return make_batched_contact_physics(
+            model, scene, n_substeps=n_substeps, dt=TIMESTEP,
+            ctrl_mode=ctrl_mode, robot_contact=robot_contact,
+            body_pairs=tuple(body_pairs))
 
     if check_collision:
         # ReachAO configuration: per-substep collision checking, batched

@@ -1,0 +1,68 @@
+"""Profiling hooks (SURVEY §5.1: the reference has only a GUI debug HUD;
+here: jax.profiler traces + simple step timers for production use)."""
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(logdir: str = "/tmp/panda_gym_tpu_trace"):
+    """Capture a jax.profiler trace viewable in TensorBoard / Perfetto.
+
+    with profiling.trace("/tmp/trace"):
+        states, *_ = core.batched_step(states, actions)
+        jax.block_until_ready(states.q)
+    """
+    jax.profiler.start_trace(logdir)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    """Rolling wall-clock stats for the train loop (steps/s, p50/p95)."""
+
+    def __init__(self, window: int = 200):
+        self.window = window
+        self.samples = []
+        self._t0: Optional[float] = None
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.samples.append(time.perf_counter() - self._t0)
+        if len(self.samples) > self.window:
+            self.samples.pop(0)
+
+    def stats(self, units_per_step: float = 1.0) -> Dict[str, float]:
+        if not self.samples:
+            return {}
+        s = sorted(self.samples)
+        n = len(s)
+        return {
+            "p50_ms": 1e3 * s[n // 2],
+            "p95_ms": 1e3 * s[min(int(n * 0.95), n - 1)],
+            "units_per_sec": units_per_step / (sum(s) / n),
+        }
+
+
+def device_memory_stats() -> Dict[str, float]:
+    """Per-device HBM usage in MiB (where the backend reports it)."""
+    out = {}
+    for d in jax.devices():
+        try:
+            ms = d.memory_stats()
+            out[str(d)] = {
+                "bytes_in_use_mib": ms.get("bytes_in_use", 0) / 2**20,
+                "peak_bytes_mib": ms.get("peak_bytes_in_use", 0) / 2**20,
+            }
+        except Exception:
+            pass
+    return out

@@ -213,6 +213,29 @@ def test_batched_step_matches_vmap_step():
         states = s2
 
 
+def test_batched_contact_step_matches_vmap_step():
+    """Batched contact physics (ops/scalarized_contact.py) vs vmap(core.step)
+    on a free-body task: forces, J^T reaction, and body integration must all
+    agree with the per-env reference path."""
+    from panda_gym_tpu.envs.panda_tasks import make_core
+
+    core = make_core("push")
+    assert core.physics_step_batched is not None
+    keys = jax.random.split(jax.random.PRNGKey(3), 8)
+    states, _ = jax.jit(jax.vmap(core.reset))(keys)
+    rng = np.random.default_rng(1)
+    for _ in range(3):
+        actions = jnp.asarray(rng.uniform(-1, 1, (8, core.robot.action_dim)),
+                              jnp.float32)
+        s1, o1, r1, t1, tr1, _ = jax.jit(jax.vmap(core.step))(states, actions)
+        s2, o2, r2, t2, tr2, _ = jax.jit(core.batched_step)(states, actions)
+        np.testing.assert_allclose(np.asarray(o1["observation"]),
+                                   np.asarray(o2["observation"]), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
+        assert (np.asarray(t1) == np.asarray(t2)).all()
+        states = s2
+
+
 def test_pallas_kernel_matches_scalarized(model):
     """The Pallas motor kernel (interpret mode on CPU) must reproduce the
     scalarized batched path it wraps."""
