@@ -127,6 +127,7 @@ class RobotTaskEnv:
         self.step_post_batched = (
             task.make_step_post_batched(self)
             if hasattr(task, "make_step_post_batched") else None)
+        self.set_action_batched = robot.make_set_action_batched()
         # derive dims from a template rollout
         self._template = self.init_state(jax.random.PRNGKey(0))
 
@@ -228,7 +229,8 @@ class RobotTaskEnv:
         make_batched_physics_step), else vmap of the per-env step."""
         if self.physics_step_batched is None:
             return jax.vmap(self.step)(states, actions)
-        states = _hi_prec(jax.vmap(self.robot.set_action))(states, actions)
+        set_action = self.set_action_batched or jax.vmap(self.robot.set_action)
+        states = _hi_prec(set_action)(states, actions)
         states = self.physics_step_batched(states)
         if self.step_post_batched is not None:
             return self.step_post_batched(states)

@@ -12,6 +12,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -104,9 +105,8 @@ class PandaRobot:
         cfg = self.config
         action = self._limit_action(jnp.asarray(action))
 
-        fk = K.fk_world(self.model, state.q, state.qd)
-
         if cfg.control_type == "ee":
+            fk = K.fk_world(self.model, state.q, state.qd)
             disp = action[:3] * cfg.max_change_position  # panda.py:235
             target_ee = self.ee_position(fk) + disp
             target_ee = target_ee.at[2].set(jnp.maximum(0.0, target_ee[2]))  # :240
@@ -118,6 +118,46 @@ class PandaRobot:
             n = self.n_arm
             q_arm = state.q[:n] + action[:n] * cfg.max_change_position  # :257-261
 
+        return self._finish_set_action(state, action, q_arm)
+
+    def make_set_action_batched(self):
+        """Batch-native set_action for "ee" control: the vmap'd per-env DLS-IK
+        dominates batched_step on TPU (measured ~80x slower than "js" at
+        B=4096); ops/scalarized.py:dls_ik_batched solves the damped normal
+        equations in scalar-component form across the whole batch instead.
+        Returns None for the other control modes (elementwise; vmap is free).
+        """
+        if self.config.control_type != "ee":
+            return None
+        from panda_gym_tpu.ops import scalarized as S
+
+        mc = S.consts_from_model(self.model)
+        cfg = self.config
+        ndof, n_arm = self.ndof, self.n_arm
+
+        def fn(states: EnvState, actions) -> EnvState:
+            actions = jax.vmap(self._limit_action)(jnp.asarray(actions))
+            q = tuple(states.q[:, d] for d in range(ndof))
+            zero_qd = [0.0] * ndof
+            Rs, ps, oms, vs, _ = S.fk_full(mc, q, zero_qd)
+            ee_p, _ = S.site_com_pos_vel(mc, Rs, ps, oms, vs, self.ee_site)
+            tx = ee_p[0] + actions[:, 0] * cfg.max_change_position
+            ty = ee_p[1] + actions[:, 1] * cfg.max_change_position
+            tz = jnp.maximum(
+                0.0, ee_p[2] + actions[:, 2] * cfg.max_change_position)
+            target_pos = jnp.stack([tx, ty, tz], axis=-1)
+            q_new = S.dls_ik_batched(
+                mc, self.ee_site, target_pos, EE_DOWN_QUAT, states.q,
+                n_iters=10, n_arm=n_arm)
+            return jax.vmap(self._finish_set_action)(
+                states, actions, q_new[:, :n_arm])
+
+        return fn
+
+    def _finish_set_action(self, state: EnvState, action, q_arm) -> EnvState:
+        """Everything after target-arm-angle resolution: gripper targets,
+        control-mode dispatch, vel/acc/jerk bookkeeping (panda.py:137-175)."""
+        cfg = self.config
         if self.ndof > 7:
             if cfg.block_gripper:
                 finger_t = jnp.zeros(2)

@@ -236,6 +236,30 @@ def test_batched_contact_step_matches_vmap_step():
         states = s2
 
 
+def test_batched_ee_ik_matches_vmap_step():
+    """Batched DLS-IK set_action (ops/scalarized.py:dls_ik_batched) vs the
+    vmap'd per-env path for "ee" control — the IK targets and resulting
+    trajectories must agree."""
+    from panda_gym_tpu.envs.panda_tasks import make_reach_core
+
+    core = make_reach_core(control_type="ee")
+    assert core.set_action_batched is not None
+    keys = jax.random.split(jax.random.PRNGKey(3), 8)
+    states, _ = jax.jit(jax.vmap(core.reset))(keys)
+    rng = np.random.default_rng(1)
+    for _ in range(3):
+        actions = jnp.asarray(rng.uniform(-1, 1, (8, core.robot.action_dim)),
+                              jnp.float32)
+        s1, o1, r1, *_ = jax.jit(jax.vmap(core.step))(states, actions)
+        s2, o2, r2, *_ = jax.jit(core.batched_step)(states, actions)
+        np.testing.assert_allclose(np.asarray(o1["observation"]),
+                                   np.asarray(o2["observation"]), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(s1.q), np.asarray(s2.q),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
+        states = s2
+
+
 def test_pallas_kernel_matches_scalarized(model):
     """The Pallas motor kernel (interpret mode on CPU) must reproduce the
     scalarized batched path it wraps."""
