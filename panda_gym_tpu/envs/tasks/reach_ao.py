@@ -32,7 +32,8 @@ from panda_gym_tpu.models import panda_constants as pc
 from panda_gym_tpu.ops import kinematics as K
 from panda_gym_tpu.ops import contact as C
 from panda_gym_tpu.rl.config import TrainConfig
-from panda_gym_tpu.sim.engine import group_obstacle_distances
+from panda_gym_tpu.sim.engine import (group_obstacle_distances,
+                                      group_table_distances)
 from panda_gym_tpu.sim.state import OBS_BOX, OBS_SPHERE, build_scene
 from panda_gym_tpu.utils import distance, unit_vector
 
@@ -657,7 +658,12 @@ class ReachAO(Task):
         def clear(q):
             fk = K.fk_world(model, q)
             gd, _, _ = group_obstacle_distances(model, fk, state)
-            return jnp.min(gd) > margin
+            # the reference rejects via check_collided(), which tests the
+            # TABLE too (reach_ao.py:896-900) — without it, torus/ik-sampled
+            # poses frequently start penetrating the table and every episode
+            # truncates at t=0 with the collision penalty
+            td = group_table_distances(model, fk, self.scene)
+            return (jnp.min(gd) > margin) & (jnp.min(td) > 0.0)
 
         qs = [state.q] + [self._randomize_pose(env, state, keys[j])
                           for j in range(self.POSE_CANDIDATES - 1)]

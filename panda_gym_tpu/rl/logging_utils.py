@@ -48,3 +48,38 @@ class RunLogger:
         self._fh.close()
         if self._wandb is not None:
             self._wandb.finish()
+
+
+def get_run_dirs(group: str, root: str = "training/run_data"):
+    """All run dirs of a group, newest last (load_model_utils.py:14-24)."""
+    base = os.path.join(root, group)
+    if not os.path.isdir(base):
+        return []
+    return sorted(os.path.join(base, d) for d in os.listdir(base)
+                  if os.path.isdir(os.path.join(base, d)))
+
+
+def load_run(run_dir: str):
+    """Rebuild the TrainConfig + locate checkpoints from a run dir
+    (load_model_utils.py:26-50: best_model.zip + config.yaml -> TrainConfig;
+    here: model_*.ckpt / final.ckpt + config.json).
+
+    Returns (config, checkpoint_paths) with the final checkpoint last.
+    """
+    from panda_gym_tpu.rl.config import TrainConfig
+
+    cfg = TrainConfig()
+    cfg_path = os.path.join(run_dir, "config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            raw = json.load(f)
+        for k, v in raw.items():
+            if hasattr(cfg, k):
+                setattr(cfg, k, v)
+    ckpts = sorted(
+        os.path.join(run_dir, f) for f in os.listdir(run_dir)
+        if f.endswith(".ckpt") and f != "final.ckpt")
+    final = os.path.join(run_dir, "final.ckpt")
+    if os.path.exists(final):
+        ckpts.append(final)
+    return cfg, ckpts

@@ -47,7 +47,9 @@ class VectorEnv:
         self.core = core
         self.n_envs = n_envs
         self.horizon = horizon
-        probe_state, probe_obs = core.reset(jax.random.PRNGKey(0))
+        # shape-only probe: an eager reset would execute thousands of tiny
+        # ops over the device tunnel (measured 160 s for ReachAO)
+        _, probe_obs = jax.eval_shape(core.reset, jax.random.PRNGKey(0))
         self.obs_dim = probe_obs["observation"].shape[0]
         self.goal_dim = probe_obs["achieved_goal"].shape[0]
         self.act_dim = core.robot.action_dim
@@ -104,9 +106,14 @@ class VectorEnv:
             aux = jax.vmap(lambda s: core.task.reward_aux(core, s))(states)
             ep_len = ep_len + (~done).astype(jnp.int32)
             new_done = done | step_done
+            # collision truncation is a real episode end, not a time limit:
+            # SB3 bootstraps only through TimeLimit truncations, so a
+            # collision-ended transition must be terminal for the Bellman
+            # target too — otherwise Q bootstraps from the frozen absorbing
+            # collision state, which no update ever grounds
             out = dict(obs=obs["observation"], achieved=obs["achieved_goal"],
                        action=action, aux=aux, reward=reward,
-                       terminated=jnp.where(done, False, term),
+                       terminated=jnp.where(done, False, term | trunc),
                        success=info["is_success"], collided=info["is_truncated"],
                        active=~done)
             return (states, obs, new_done, ep_len, key), out
@@ -180,6 +187,10 @@ class Trainer:
                                        final=(i == n_stages - 1))
             print(f"[stage {stage}] done (threshold reached: {reached}); "
                   f"timesteps so far: {self.timesteps}")
+            # per-stage learner snapshot (setup_training.py:299 model.save)
+            run_dir = getattr(self.logger, "dir", None)
+            if run_dir:
+                self.save(os.path.join(run_dir, f"model_{stage}_{i}.ckpt"))
         return self.ts
 
     def _ensure_learner(self, venv: VectorEnv, key):
@@ -191,8 +202,9 @@ class Trainer:
         if self.buffer is None or self.buffer.ep_horizon < venv.horizon:
             cap_eps = max(getattr(cfg.hyperparams, "buffer_size", 300_000)
                           // max(venv.horizon, 1), venv.n_envs)
-            aux_dim = int(np.asarray(
-                venv.core.task.reward_aux(venv.core, venv.core._template)).shape[0])
+            aux_dim = int(jax.eval_shape(
+                lambda s: venv.core.task.reward_aux(venv.core, s),
+                venv.core._template).shape[0])
             self.buffer = her.create(cap_eps, venv.horizon, venv.obs_dim,
                                      venv.goal_dim, venv.act_dim, aux_dim)
 
@@ -217,6 +229,15 @@ class Trainer:
         updates_per_rollout = max(int(utd * transitions_per_rollout), 1)
 
         reward_fn = self._reward_fn(core)
+
+        # optional NEO-prior bootstrap before any learning, first stage only
+        # (setup_training.py:219-222 -> imitation_learning.py:6-56)
+        if cfg.prior_steps > 0 and self.timesteps == 0:
+            from panda_gym_tpu.rl.imitation import fill_buffer_with_prior
+            n_roll = max(1, -(-cfg.prior_steps // transitions_per_rollout))
+            key, k_p = jax.random.split(key)
+            self.buffer, _ = fill_buffer_with_prior(
+                venv, self.buffer, k_p, n_rollouts=n_roll)
 
         @jax.jit
         def collect(ts, buf, key):
@@ -248,8 +269,10 @@ class Trainer:
         t_start = time.time()
         while stage_steps < cfg.max_timesteps:
             key, k_c = jax.random.split(key)
+            t_c = time.time()
             self.buffer, stats, _ = collect(self.ts, self.buffer, k_c)
             rollout_steps = int(jnp.sum(stats["ep_len"]))
+            t_c = time.time() - t_c
             stage_steps += rollout_steps
             self.timesteps += rollout_steps
 
@@ -258,10 +281,13 @@ class Trainer:
                                            cfg.max_timesteps // 4)):
                 learning_started = True
             m = {}
+            t_u = 0.0
             if learning_started:
                 key, k_u = jax.random.split(key)
+                t_u = time.time()
                 self.ts, key, m = update_many(self.ts, self.buffer, k_u)
                 m = {k: float(v) for k, v in m.items()}
+                t_u = time.time() - t_u
 
             row = dict(
                 scenario=scenario, timesteps=self.timesteps,
@@ -270,6 +296,7 @@ class Trainer:
                 rollout_collided=float(jnp.mean(stats["collided"])),
                 rollout_reward=float(jnp.mean(stats["ep_reward"])),
                 sps=self.timesteps / max(time.time() - t_start, 1e-9),
+                t_collect=round(t_c, 4), t_update=round(t_u, 4),
                 **m)
             self.metrics.log(row)
             if self.logger is not None:
@@ -299,20 +326,17 @@ class Trainer:
 
     # ------------------------------------------------------------- eval
     def evaluate(self, venv: VectorEnv, key, n_episodes: int = 100) -> float:
+        # NOTE: rollout_episode is already jit-cached per (learner, flags);
+        # wrapping it in a fresh jax.jit here recompiled the whole eval
+        # rollout on EVERY eval (~50 s each on the TPU tunnel).
         learner = self.learner
         rounds = max(1, int(np.ceil(n_episodes / venv.n_envs)))
-
-        @jax.jit
-        def eval_round(ts, key):
-            episodes, stats, key = venv.rollout_episode(
-                learner, ts, key, deterministic=True)
-            return stats["success"], key
-
         succ = []
         for _ in range(rounds):
             key, k = jax.random.split(key)
-            s, _ = eval_round(self.ts, k)
-            succ.append(np.asarray(s))
+            _, stats, _ = venv.rollout_episode(
+                learner, self.ts, k, deterministic=True)
+            succ.append(np.asarray(stats["success"]))
         return float(np.mean(np.concatenate(succ)[:n_episodes]))
 
     # ------------------------------------------------------------- ckpt
