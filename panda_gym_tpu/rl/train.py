@@ -41,12 +41,24 @@ def flat_x(obs):
 
 
 class VectorEnv:
-    """Batched functional env with jit-compiled episode rollouts."""
+    """Batched functional env with jit-compiled episode rollouts.
 
-    def __init__(self, core: RobotTaskEnv, n_envs: int, horizon: int):
+    With `mesh`, the env batch is sharded along the mesh's "env" axis
+    (parallel/mesh.py): the SubprocVecEnv replacement scaled over devices —
+    XLA partitions the whole rollout, no processes or pipes.
+    """
+
+    def __init__(self, core: RobotTaskEnv, n_envs: int, horizon: int,
+                 mesh=None):
         self.core = core
         self.n_envs = n_envs
         self.horizon = horizon
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self.env_sharding = NamedSharding(mesh, P("env"))
+        else:
+            self.env_sharding = None
         # shape-only probe: an eager reset would execute thousands of tiny
         # ops over the device tunnel (measured 160 s for ReachAO)
         _, probe_obs = jax.eval_shape(core.reset, jax.random.PRNGKey(0))
@@ -58,7 +70,15 @@ class VectorEnv:
 
     def batch_reset(self, key):
         keys = jax.random.split(key, self.n_envs)
-        return jax.vmap(self.core.reset)(keys)
+        if self.env_sharding is not None:
+            keys = jax.lax.with_sharding_constraint(keys, self.env_sharding)
+        states, obs = jax.vmap(self.core.reset)(keys)
+        if self.env_sharding is not None:
+            shard = lambda t: jax.tree_util.tree_map(
+                lambda x: jax.lax.with_sharding_constraint(
+                    x, self.env_sharding), t)
+            states, obs = shard(states), shard(obs)
+        return states, obs
 
     def rollout_episode(self, learner, ts, key, deterministic=False,
                         policy_fn=None):
@@ -161,10 +181,12 @@ class Trainer:
 
     def __init__(self, config: TrainConfig,
                  make_env: Callable[[str, float, float], RobotTaskEnv],
-                 logger=None):
+                 logger=None, mesh=None):
         self.config = config
         self.make_env = make_env
         self.logger = logger
+        self.mesh = mesh          # optional ("env",) device mesh: envs +
+                                  # replay sharded, learner params replicated
         self.metrics = TrainerMetrics()
         self.learner = None
         self.ts = None
@@ -198,22 +220,37 @@ class Trainer:
         if self.learner is None:
             self.learner = make_learner(cfg.algorithm, venv.x_dim,
                                         venv.act_dim, cfg.hyperparams)
-            self.ts = self.learner.init(key)
+            if self.ts is None:  # not restored via load()
+                self.ts = self.learner.init(key)
+            if self.mesh is not None:
+                from panda_gym_tpu.parallel.mesh import replicated
+                self.ts = jax.device_put(self.ts, replicated(self.mesh))
         if self.buffer is None or self.buffer.ep_horizon < venv.horizon:
             cap_eps = max(getattr(cfg.hyperparams, "buffer_size", 300_000)
                           // max(venv.horizon, 1), venv.n_envs)
+            if self.mesh is not None:  # episode axis must tile over devices
+                n_dev = self.mesh.devices.size
+                cap_eps = -(-cap_eps // n_dev) * n_dev
             aux_dim = int(jax.eval_shape(
                 lambda s: venv.core.task.reward_aux(venv.core, s),
                 venv.core._template).shape[0])
             self.buffer = her.create(cap_eps, venv.horizon, venv.obs_dim,
                                      venv.goal_dim, venv.act_dim, aux_dim)
+            if self.mesh is not None:
+                # episode-capacity axis sharded over devices; scalars repl.
+                from panda_gym_tpu.parallel.mesh import (env_sharding,
+                                                         replicated)
+                es, rs = env_sharding(self.mesh), replicated(self.mesh)
+                self.buffer = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, es if getattr(x, "ndim", 0)
+                                             else rs), self.buffer)
 
     def train_stage(self, scenario: str, horizon: int, ee_thr: float,
                     sp_thr: float, success_threshold: float, key,
                     final: bool = False) -> bool:
         cfg = self.config
         core = self.make_env(scenario, ee_thr, sp_thr)
-        venv = VectorEnv(core, cfg.n_envs, horizon)
+        venv = VectorEnv(core, cfg.n_envs, horizon, mesh=self.mesh)
         key, k_init = jax.random.split(key)
         self._ensure_learner(venv, k_init)
         learner = self.learner
@@ -340,13 +377,28 @@ class Trainer:
         return float(np.mean(np.concatenate(succ)[:n_episodes]))
 
     # ------------------------------------------------------------- ckpt
-    def save(self, path: str):
+    def save(self, path: str, include_buffer: bool = False):
+        """Checkpoint for resume (continue_learning, setup_training.py:
+        383-422): learner state + step counter, optionally the full replay
+        buffer (large: capacity x obs_dim)."""
         import pickle
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        payload = {"ts": jax.device_get(self.ts),
+                   "timesteps": self.timesteps,
+                   "algorithm": self.config.algorithm}
+        if include_buffer and self.buffer is not None:
+            payload["buffer"] = jax.device_get(self.buffer)
         with open(path, "wb") as f:
-            pickle.dump(jax.device_get(self.ts), f)
+            pickle.dump(payload, f)
 
     def load(self, path: str):
         import pickle
         with open(path, "rb") as f:
-            self.ts = pickle.load(f)
+            payload = pickle.load(f)
+        if isinstance(payload, dict) and "ts" in payload:
+            self.ts = payload["ts"]
+            self.timesteps = payload.get("timesteps", 0)
+            if "buffer" in payload:
+                self.buffer = payload["buffer"]
+        else:  # legacy: raw TrainState pickle
+            self.ts = payload

@@ -153,6 +153,41 @@ def test_trainer_smoke():
     assert any("rollout_success" in r for r in tr.metrics.history)
 
 
+def test_trainer_save_resume(tmp_path):
+    """Full checkpoint-resume: learner + buffer + step counter survive a
+    save/load round trip and training continues (continue_learning,
+    setup_training.py:383-422)."""
+    from panda_gym_tpu.envs.panda_tasks import make_reach_core
+    from panda_gym_tpu.rl.config import TrainConfig
+    from panda_gym_tpu.rl.train import Trainer
+
+    cfg = TrainConfig()
+    cfg.n_envs = 4
+    cfg.stages = ["s0"]
+    cfg.success_thresholds = [2.0]
+    cfg.max_ep_steps = [5]
+    cfg.ee_error_thresholds = [0.05]
+    cfg.max_timesteps = 40
+    cfg.learning_starts = 10
+    cfg.eval_freq = 1000
+
+    mk = lambda s, e, sp: make_reach_core(reward_type="dense")
+    tr = Trainer(cfg, mk)
+    tr.learn(seed=0)
+    path = str(tmp_path / "ckpt.pkl")
+    tr.save(path, include_buffer=True)
+
+    tr2 = Trainer(cfg, mk)
+    tr2.load(path)
+    assert tr2.timesteps == tr.timesteps
+    before = tr2.timesteps
+    tr2.learn(seed=1)
+    assert tr2.timesteps > before
+    leaves1 = jax.tree_util.tree_leaves(tr.ts.actor_params)
+    leaves2 = jax.tree_util.tree_leaves(tr2.ts.actor_params)
+    assert all(l1.shape == l2.shape for l1, l2 in zip(leaves1, leaves2))
+
+
 def test_ppo_smoke():
     """PPO learner end-to-end: rollout collection with auto-reset + timeout
     bootstrap, GAE, clipped-surrogate minibatch epochs."""

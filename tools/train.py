@@ -109,7 +109,7 @@ def main():
 
     trainer.learn(seed=args.seed)
     final = os.path.join(logger.dir, "final.ckpt")
-    trainer.save(final)
+    trainer.save(final, include_buffer=True)
     print(f"saved final learner to {final}")
 
     if args.benchmark:
