@@ -63,7 +63,11 @@ def perform_benchmark(
 
     def policy(states, obs, key):
         x = flat_x(obs)
-        means, stds = _member_actions(learner, list(ts_list), x, key)
+        if ts_list:
+            means, stds = _member_actions(learner, list(ts_list), x, key)
+        elif strategy != "prior":
+            raise ValueError("no learner checkpoints; only strategy='prior' "
+                             "works without models (evaluate_neo.py:18-92)")
         if strategy in (None, "", "mean"):
             act = fusion.mean(means)
         elif strategy == "weighted_aggregation":
@@ -182,8 +186,8 @@ def display_and_save_benchmark_results(results: Dict[str, Dict], path: str):
 
 
 BENCHMARK_SCENARIOS = [
-    # benchmark_model's scenario list (setup_training.py:334-381)
-    "wangexp-3", "library1", "library2", "narrow_tunnel", "tunnel",
-    "workshop", "industrial", "wall", "bookshelves", "countertop",
-    "kitchen", "tabletop", "raised_shelves",
+    # benchmark_model's exact scenario list (setup_training.py:337-350)
+    "reachao1", "reachao2", "reachao3", "wangexp-3", "reachao_rand",
+    "reachao_rand_start", "library1", "library2", "narrow_tunnel",
+    "tunnel", "workshop", "industrial", "wall",
 ]

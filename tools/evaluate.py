@@ -1,0 +1,94 @@
+"""Evaluation entry point — CLI equivalent of the reference's
+evaluation/evaluate.py (evaluate_ensemble, :319-403): load trained learner
+checkpoints from a run dir, benchmark over the reference's scenario table,
+optionally with ensemble action fusion, and persist the results table.
+
+Examples:
+    # benchmark the latest curriculum run
+    python tools/evaluate.py training/run_data/curriculum_demo/tqc_curriculum_r1
+
+    # ensemble of several runs with Bayesian fusion
+    python tools/evaluate.py run1 run2 run3 --strategy bayesian_fusion
+
+    # NEO analytical prior only (evaluate_neo.py equivalent)
+    python tools/evaluate.py --strategy prior
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("runs", nargs="*", help="run dirs (ensemble if several)")
+    p.add_argument("--scenarios", nargs="+", default=None,
+                   help="default: the reference's 13-scenario benchmark list")
+    p.add_argument("--episodes", type=int, default=100)
+    p.add_argument("--horizon", type=int, default=300)
+    p.add_argument("--strategy", default=None,
+                   choices=[None, "mean", "confidence", "weighted_aggregation",
+                            "bayesian_fusion", "prior", "bcf"],
+                   help="ensemble fusion / prior strategy (action_selection.py)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default=None,
+                   help="output path prefix (default <first run>/benchmark)")
+    args = p.parse_args()
+
+    import pickle
+
+    from panda_gym_tpu.envs.tasks.reach_ao import make_reach_ao_core
+    from panda_gym_tpu.eval.benchmark import (
+        BENCHMARK_SCENARIOS, display_and_save_benchmark_results,
+        evaluate_scenarios)
+    from panda_gym_tpu.rl.config import Hyperparameters, TrainConfig
+    from panda_gym_tpu.rl.learners import make_learner
+    from panda_gym_tpu.rl.logging_utils import load_run
+
+    if not args.runs and args.strategy not in ("prior",):
+        p.error("need at least one run dir (or --strategy prior)")
+
+    cfg = TrainConfig()
+    ts_list = []
+    learner = None
+    for run_dir in args.runs:
+        cfg, ckpts = load_run(run_dir)
+        if not ckpts:
+            raise SystemExit(f"no checkpoints in {run_dir}")
+        with open(ckpts[-1], "rb") as f:
+            payload = pickle.load(f)
+        ts = payload["ts"] if isinstance(payload, dict) and "ts" in payload \
+            else payload
+        ts_list.append(ts)
+    if not isinstance(getattr(cfg, "hyperparams", None), Hyperparameters):
+        cfg.hyperparams = Hyperparameters(cfg.algorithm)
+
+    make_core = lambda sc: make_reach_ao_core(
+        scenario=sc, config=cfg,
+        ee_error_threshold=cfg.ee_error_thresholds[-1],
+        speed_threshold=cfg.speed_thresholds[-1])
+
+    if ts_list:
+        probe = make_core("reachao1")
+        import jax
+        _, obs = jax.eval_shape(probe.reset, jax.random.PRNGKey(0))
+        x_dim = (obs["observation"].shape[0]
+                 + 2 * obs["achieved_goal"].shape[0])
+        learner = make_learner(cfg.algorithm, x_dim, probe.robot.action_dim,
+                               cfg.hyperparams)
+
+    scenarios = args.scenarios or BENCHMARK_SCENARIOS
+    results = evaluate_scenarios(
+        learner, ts_list, make_core=make_core, scenarios=scenarios,
+        n_episodes=args.episodes, horizon=args.horizon,
+        strategy=args.strategy, seed=args.seed)
+    out = args.out or os.path.join(
+        args.runs[0] if args.runs else ".", "benchmark")
+    display_and_save_benchmark_results(results, out)
+
+
+if __name__ == "__main__":
+    main()
