@@ -261,12 +261,20 @@ class GymAdapter(_gym.Env):
         from gymnasium import spaces
 
         self.env = env
-        self._jit_reset = jax.jit(env.reset)
+
+        def reset_with_info(key):
+            state, obs = env.reset(key)
+            out = env.task.is_success(env, obs["achieved_goal"],
+                                      obs["desired_goal"], state)
+            success = out[0] if isinstance(out, tuple) else out
+            return state, obs, jnp.asarray(success, bool)
+
+        self._jit_reset = jax.jit(reset_with_info)
         self._jit_step = jax.jit(env.step)
         self._state: Optional[EnvState] = None
         self._np_seed_counter = 0
 
-        state, obs = self._jit_reset(jax.random.PRNGKey(0))
+        state, obs, _ = self._jit_reset(jax.random.PRNGKey(0))
         self._state = state
         self.observation_space = spaces.Dict(
             dict(
@@ -286,15 +294,9 @@ class GymAdapter(_gym.Env):
             self._np_seed_counter += 1
             seed = np.random.SeedSequence().entropy % (2**31) + self._np_seed_counter
         key = jax.random.PRNGKey(int(seed))
-        state, obs = self._jit_reset(key)
+        state, obs, success = self._jit_reset(key)
         self._state = state
-        info = {"is_success": bool(np.asarray(
-            self.env.task.is_success(self.env, obs["achieved_goal"],
-                                     obs["desired_goal"], state)[0]
-            if isinstance(self.env.task.is_success(self.env, obs["achieved_goal"],
-                                                   obs["desired_goal"], state), tuple)
-            else self.env.task.is_success(self.env, obs["achieved_goal"],
-                                          obs["desired_goal"], state)))}
+        info = {"is_success": bool(np.asarray(success))}
         return {k: np.asarray(v) for k, v in obs.items()}, info
 
     def step(self, action):
