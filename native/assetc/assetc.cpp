@@ -228,10 +228,15 @@ void aabb_from_points(const std::vector<Vec3> &pts, const Vec3 &base,
 extern "C" {
 
 // Parse one URDF file; append world AABBs (cx,cy,cz,hx,hy,hz per box) of all
-// collision geometries, offset by base position.  Returns a malloc'd double
-// array (6 per box); *n_boxes receives the count.  Free with assetc_free.
-double *assetc_compile_urdf(const char *urdf_path, double bx, double by,
-                            double bz, int32_t *n_boxes) {
+// collision geometries, offset by base position.  global_scaling follows
+// pybullet loadURDF semantics: it multiplies joint origins, collision
+// origins, and geometry dimensions, but NOT the base position.  Returns a
+// malloc'd double array (6 per box); *n_boxes receives the count.  Free with
+// assetc_free.
+double *assetc_compile_urdf_scaled(const char *urdf_path, double bx, double by,
+                                   double bz, double global_scaling,
+                                   int32_t *n_boxes) {
+  const double gs = global_scaling;
   *n_boxes = 0;
   std::ifstream f(urdf_path);
   if (!f) return nullptr;
@@ -256,6 +261,7 @@ double *assetc_compile_urdf(const char *urdf_path, double bx, double by,
       Vec3 oxyz;
       Mat3 oR;
       parse_origin(find_child(j, "origin"), &oxyz, &oR);
+      oxyz = {oxyz.x * gs, oxyz.y * gs, oxyz.z * gs};
       auto pit = pose.find(par->attrs.count("link") ? par->attrs.at("link") : "");
       Vec3 pp = pit != pose.end() ? pit->second.first : Vec3{};
       Mat3 pR = pit != pose.end() ? pit->second.second : Mat3{};
@@ -276,6 +282,7 @@ double *assetc_compile_urdf(const char *urdf_path, double bx, double by,
       Vec3 oxyz;
       Mat3 oR;
       parse_origin(find_child(col, "origin"), &oxyz, &oR);
+      oxyz = {oxyz.x * gs, oxyz.y * gs, oxyz.z * gs};
       Vec3 gp = {lp.first.x + lp.second.mul(oxyz).x,
                  lp.first.y + lp.second.mul(oxyz).y,
                  lp.first.z + lp.second.mul(oxyz).z};
@@ -289,8 +296,8 @@ double *assetc_compile_urdf(const char *urdf_path, double bx, double by,
         for (int sx = -1; sx <= 1; sx += 2)
           for (int sy = -1; sy <= 1; sy += 2)
             for (int sz = -1; sz <= 1; sz += 2) {
-              Vec3 corner = {sx * size[0] / 2, sy * size[1] / 2,
-                             sz * size[2] / 2};
+              Vec3 corner = {gs * sx * size[0] / 2, gs * sy * size[1] / 2,
+                             gs * sz * size[2] / 2};
               Vec3 w = gR.mul(corner);
               pts.push_back({gp.x + w.x, gp.y + w.y, gp.z + w.z});
             }
@@ -304,7 +311,8 @@ double *assetc_compile_urdf(const char *urdf_path, double bx, double by,
         std::vector<Vec3> verts;
         if (!load_obj_vertices(urdf_dir + "/" + fn, &verts)) continue;
         for (const auto &v : verts) {
-          Vec3 sv = {v.x * scale.x, v.y * scale.y, v.z * scale.z};
+          Vec3 sv = {v.x * scale.x * gs, v.y * scale.y * gs,
+                     v.z * scale.z * gs};
           Vec3 w = gR.mul(sv);
           pts.push_back({gp.x + w.x, gp.y + w.y, gp.z + w.z});
         }
@@ -314,7 +322,7 @@ double *assetc_compile_urdf(const char *urdf_path, double bx, double by,
         for (int sx = -1; sx <= 1; sx += 2)
           for (int sy = -1; sy <= 1; sy += 2)
             for (int sz = -1; sz <= 1; sz += 2) {
-              Vec3 corner = {sx * r, sy * r, sz * l / 2};
+              Vec3 corner = {gs * sx * r, gs * sy * r, gs * sz * l / 2};
               Vec3 w = gR.mul(corner);
               pts.push_back({gp.x + w.x, gp.y + w.y, gp.z + w.z});
             }
@@ -334,6 +342,11 @@ double *assetc_compile_urdf(const char *urdf_path, double bx, double by,
   }
   *n_boxes = static_cast<int32_t>(boxes.size());
   return out;
+}
+
+double *assetc_compile_urdf(const char *urdf_path, double bx, double by,
+                            double bz, int32_t *n_boxes) {
+  return assetc_compile_urdf_scaled(urdf_path, bx, by, bz, 1.0, n_boxes);
 }
 
 void assetc_free(double *p) { std::free(p); }

@@ -26,7 +26,7 @@ import numpy as np
 
 from panda_gym_tpu.models.chain import ChainModel
 from panda_gym_tpu.ops import scalarized as S
-from panda_gym_tpu.sim.state import OBS_BOX
+from panda_gym_tpu.sim.state import DEEP_PENETRATION_BLIND, OBS_BOX
 
 EPS = 1e-9
 
@@ -170,6 +170,10 @@ def obstacle_distance_sweep(mc, P0, P1, RC, opos, osize, is_box, active,
         d_b, pc_b, po_b = capsule_box_closest(
             P0, P1, RC, opos[j], osize[j], with_points=with_points)
         d = jnp.where(is_box[j], d_b, d_s)
+        # Bullet convex-margin blindness for box obstacles (see
+        # engine.group_obstacle_distances): deep penetrations read as far.
+        d = jnp.where(is_box[j] & (d <= -DEEP_PENETRATION_BLIND),
+                      max_distance, d)
         d = jnp.where(active[j], d, max_distance)
         ds.append(d)
         if with_points:
@@ -243,6 +247,9 @@ def table_group_distances(mc, P0, P1, RC, table_center, table_half,
     from functools import reduce
     d, _, _ = capsule_box_closest(P0, P1, RC, table_center, table_half,
                                   with_points=False)             # (ncap, B)
+    # convex-convex deep-penetration blindness (see
+    # engine.group_obstacle_distances)
+    d = jnp.where(d <= -DEEP_PENETRATION_BLIND, max_distance, d)
     out = []
     for g, rows in enumerate(_group_rows(mc)):
         if g in skip_groups or not rows:
@@ -267,7 +274,7 @@ def make_batched_collision_physics(
     collision_safety_distance: float = 0.0,
     freeze_on_collision: bool = True,
     moving_obstacles: bool = False,
-    skip_table_groups: Tuple[int, ...] = (0, 1),
+    skip_table_groups: Tuple[int, ...] = (0,),
     max_distance: float = 999.0,
 ):
     """Batched equivalent of engine.make_physics_step for the
@@ -309,7 +316,11 @@ def make_batched_collision_physics(
             td = table_group_distances(mc, P0, P1, RC, table_center,
                                        table_half, skip_table_groups,
                                        max_distance)
-            min_all = jnp.min(jnp.stack(gd + td), axis=0)
+            # Predicate matches engine.substep (see comment there): skip
+            # group 0 (panda_link1); deep box penetrations already read as
+            # far upstream (Bullet convex-margin blindness) — link1
+            # distances remain in the per-link observation vector.
+            min_all = jnp.min(jnp.stack(list(gd[1:]) + list(td)), axis=0)
             collided_step = min_all <= collision_safety_distance
             new_collided = collided | collided_step
 

@@ -27,8 +27,8 @@ from panda_gym_tpu.ops import contact as C
 from panda_gym_tpu.ops import dynamics as D
 from panda_gym_tpu.ops import kinematics as K
 from panda_gym_tpu.sim.state import (
-    EnvState, SceneParams, OBS_BOX, OBS_SPHERE, SHAPE_BOX, SHAPE_CYLINDER,
-    SHAPE_SPHERE,
+    DEEP_PENETRATION_BLIND, EnvState, SceneParams, OBS_BOX, OBS_SPHERE,
+    SHAPE_BOX, SHAPE_CYLINDER, SHAPE_SPHERE,
 )
 
 GRAVITY = jnp.array([0.0, 0.0, -9.81])  # pybullet.py:54
@@ -192,6 +192,14 @@ def group_obstacle_distances(model: ChainModel, fk, state: EnvState,
     dist = jnp.where(is_box, d_b, d_s)                      # (ncap, no)
     pc = jnp.where(is_box[..., None], pc_b, pc_s)
     po = jnp.where(is_box[..., None], po_b, po_s)
+    # Bullet's convex-convex queries (box obstacles vs link hulls) return no
+    # points for penetrations deeper than the collision margin, so the
+    # reference sees max_distance for them — in observations AND in
+    # check_collided (its "wall" stage buries link1/2 in a cuboid and stays
+    # trainable only because of this).  Sphere queries are analytic in Bullet
+    # and always report, so spheres keep their negative distances.
+    dist = jnp.where(is_box & (dist <= -DEEP_PENETRATION_BLIND),
+                     max_distance, dist)
     dist = jnp.where(state.obstacle_active[None, :], dist, max_distance)
 
     # reduce to per-group minimum
@@ -219,10 +227,14 @@ def group_obstacle_distances(model: ChainModel, fk, state: EnvState,
 
 
 def group_table_distances(model: ChainModel, fk, scene: SceneParams,
-                          skip_groups: Tuple[int, ...] = (0, 1),
+                          skip_groups: Tuple[int, ...] = (0,),
                           max_distance: float = 999.0):
-    """Distance of each collision group to the table box, skipping
-    panda_link0/1 (check_collided ignores them, reach_ao.py:898)."""
+    """Distance of each collision group to the table box.
+
+    The reference ignores panda_link0 and panda_link1 here
+    (check_collided's ignore_link, reach_ao.py:898).  Our groups are the
+    reference's robot.link_names = joint child links (core.py:43-48), which
+    never contain link0 — so only group 0 (panda_link1) is skipped."""
     cap_p0, cap_p1 = K.capsule_endpoints_world(model, fk)
     ncap = cap_p0.shape[0]
     d, _, _, _ = C.capsule_box_distance(
@@ -230,6 +242,8 @@ def group_table_distances(model: ChainModel, fk, scene: SceneParams,
         jnp.broadcast_to(scene.table_center, (ncap, 3)),
         jnp.broadcast_to(jnp.eye(3), (ncap, 3, 3)),
         jnp.broadcast_to(scene.table_half, (ncap, 3)))
+    # convex-convex deep-penetration blindness (see group_obstacle_distances)
+    d = jnp.where(d <= -DEEP_PENETRATION_BLIND, max_distance, d)
     out = []
     for g in range(model.ngroup):
         if g in skip_groups:
@@ -341,7 +355,14 @@ def make_physics_step(
             gd, _, _ = group_obstacle_distances(model, fk2,
                                                 new_state.replace(obstacle_pos=obstacle_pos))
             td = group_table_distances(model, fk2, scene)
-            collided = (jnp.min(gd) <= collision_safety_distance) | (
+            # Group 0 (panda_link1) is skipped in the predicate: the
+            # reference never collision-checks link0 (absent from
+            # link_names, core.py:43-48) and ignores link1 for the table
+            # (reach_ao.py:898); link1's distances stay in the observations
+            # (gd keeps all groups).  Deep box penetrations were already
+            # mapped to max_distance upstream (Bullet convex-margin
+            # blindness, see group_obstacle_distances).
+            collided = (jnp.min(gd[1:]) <= collision_safety_distance) | (
                 jnp.min(td) <= collision_safety_distance)
             new_state = new_state.replace(
                 is_collided=state.is_collided | collided,

@@ -23,6 +23,11 @@ SHAPE_CYLINDER = 2
 OBS_SPHERE = 0
 OBS_BOX = 1
 
+# Bullet's default convex collision margin: getClosestPoints yields no points
+# for penetrations deeper than this, so the reference's collision checks are
+# blind to them (see engine.make_physics_step.substep predicate comment).
+DEEP_PENETRATION_BLIND = 0.04
+
 
 @struct.dataclass
 class SceneParams:

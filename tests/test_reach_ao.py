@@ -153,3 +153,37 @@ def test_batched_step_matches_per_env():
         np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
         assert (np.asarray(s1.is_collided) == np.asarray(s2.is_collided)).all()
         assert (np.asarray(i1["is_success"]) == np.asarray(i2["is_success"])).all()
+
+
+def test_benchmark_scenarios_start_collision_free():
+    """Regression: 'wall' buries link1/2 in its cuboid (reach_ao.py:457-468)
+    and 'tunnel' ships with globalScaling=1.4 (tunnel.json) — with Bullet's
+    convex-margin blindness and manifest scaling honored, a zero policy must
+    survive the first steps instead of truncating immediately."""
+    import jax.numpy as jnp
+
+    from panda_gym_tpu.envs.tasks.reach_ao import make_reach_ao_core
+
+    for sc in ("wall", "tunnel", "narrow_tunnel"):
+        core = make_reach_ao_core(sc)
+        state, _ = jax.jit(core.reset)(jax.random.PRNGKey(0))
+        step = jax.jit(core.step)
+        for t in range(5):
+            state, o, r, te, tr, info = step(
+                state, jnp.zeros(core.robot.action_dim))
+            assert not bool(state.is_collided), (sc, t)
+
+
+def test_scenario_global_scaling_applied():
+    """tunnel.json declares globalScaling=1.4; compiled boxes must be scaled
+    (pybullet loadURDF semantics: origins+geometry scale, basePosition not)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(rao.__file__), "..", "..", "assets",
+                        "scenarios_compiled.json")
+    boxes = json.load(open(path))["scenarios"]["tunnel"]["boxes"]
+    # unscaled bottom wall would be at x=0.325 half 0.15; scaled: 0.455/0.21
+    xs = sorted(b[0] for b in boxes)
+    assert abs(xs[0] - 0.455) < 1e-6, xs
+    assert abs(boxes[0][3] - 0.21) < 1e-6 or abs(boxes[0][3] - 0.105) < 1e-6

@@ -59,10 +59,15 @@ def load_obj_vertices(path):
     return np.asarray(verts)
 
 
-def boxes_from_urdf(urdf_path, base_position):
+def boxes_from_urdf(urdf_path, base_position, global_scaling=1.0):
+    """PyBullet loadURDF semantics: globalScaling multiplies joint origins,
+    collision origins, and geometry dimensions, but NOT basePosition
+    (pybullet.py:518-525 passes the manifest's globalScaling straight to
+    loadURDF)."""
     tree = ET.parse(urdf_path)
     robot = tree.getroot()
     urdf_dir = os.path.dirname(urdf_path)
+    gs = float(global_scaling)
 
     # link frame poses from fixed-joint chain (parent assumed at identity /
     # chained), flat scenes: parent almost always "world"/base link.
@@ -79,14 +84,14 @@ def boxes_from_urdf(urdf_path, base_position):
             child = j.find("child").get("link")
             oxyz, oR = parse_origin(j.find("origin"))
             pp, pR = link_pose.get(parent, (np.zeros(3), np.eye(3)))
-            link_pose[child] = (pp + pR @ oxyz, pR @ oR)
+            link_pose[child] = (pp + pR @ (gs * oxyz), pR @ oR)
 
     out = []
     for name, link in links.items():
         lp, lR = link_pose[name]
         for col in link.findall("collision"):
             oxyz, oR = parse_origin(col.find("origin"))
-            gp = lp + lR @ oxyz
+            gp = lp + lR @ (gs * oxyz)
             gR = lR @ oR
             geom = col.find("geometry")
             if geom is None:
@@ -95,7 +100,7 @@ def boxes_from_urdf(urdf_path, base_position):
             mesh = geom.find("mesh")
             cyl = geom.find("cylinder")
             if box is not None:
-                size = np.array([float(v) for v in box.get("size").split()])
+                size = gs * np.array([float(v) for v in box.get("size").split()])
                 corners = np.array([[sx, sy, sz] for sx in (-1, 1)
                                     for sy in (-1, 1) for sz in (-1, 1)])
                 pts = gp + (corners * size / 2) @ gR.T
@@ -107,11 +112,11 @@ def boxes_from_urdf(urdf_path, base_position):
                 if not os.path.exists(mesh_path):
                     print(f"  !! missing mesh {mesh_path}")
                     continue
-                verts = load_obj_vertices(mesh_path) * scale
+                verts = load_obj_vertices(mesh_path) * scale * gs
                 pts = gp + verts @ gR.T
             elif cyl is not None:
-                r = float(cyl.get("radius"))
-                l = float(cyl.get("length"))
+                r = gs * float(cyl.get("radius"))
+                l = gs * float(cyl.get("length"))
                 corners = np.array([[sx, sy, sz] for sx in (-1, 1)
                                     for sy in (-1, 1) for sz in (-1, 1)])
                 pts = gp + (corners * np.array([r, r, l / 2])) @ gR.T
@@ -136,10 +141,11 @@ def compile_scenario(scenario_dir):
     for body_name, spec in bodies.items():
         urdf = os.path.join(scenario_dir, "urdf", spec["fileName"])
         base = spec.get("basePosition", [0, 0, 0])
+        gs = float(spec.get("globalScaling", 1.0))
         if not os.path.exists(urdf):
             print(f"  !! missing urdf {urdf}")
             continue
-        boxes.extend(boxes_from_urdf(urdf, base))
+        boxes.extend(boxes_from_urdf(urdf, base, global_scaling=gs))
     return boxes
 
 
