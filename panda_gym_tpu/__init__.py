@@ -41,6 +41,7 @@ def register_envs(max_ep_steps: int = 50) -> None:
                       "control_type": "js" if control_type == "joints" else "ee"}
             for name, entry in [
                 ("PandaReach", "panda_gym_tpu.envs.panda_tasks:PandaReachEnv"),
+                ("PandaReachChecker", "panda_gym_tpu.envs.panda_tasks:PandaReachCheckerEnv"),
                 ("PandaPush", "panda_gym_tpu.envs.panda_tasks:PandaPushEnv"),
                 ("PandaSlide", "panda_gym_tpu.envs.panda_tasks:PandaSlideEnv"),
                 ("PandaPickAndPlace", "panda_gym_tpu.envs.panda_tasks:PandaPickAndPlaceEnv"),

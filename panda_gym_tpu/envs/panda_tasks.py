@@ -125,6 +125,21 @@ class PandaFlipEnv(GymAdapter):
         super().__init__(make_flip_core(reward_type, control_type))
 
 
+class PandaReachCheckerEnv(GymAdapter):
+    """Reach variant used by the reference as an analytical-model-free probe
+    (panda_tasks.py:111-129: Panda with use_robotics_toolbox=False,
+    action_limiter="clip", same Reach task).  In this framework the robot has
+    no stateful analytical twin, so this reduces to Reach with the "clip"
+    limiter made explicit."""
+
+    def __init__(self, render: bool = False, reward_type: str = "sparse",
+                 control_type: str = "js", goal_range=0.3,
+                 show_goal_space=False, **kw):
+        robot = _robot(True, control_type, action_limiter="clip")
+        super().__init__(RobotTaskEnv(
+            robot, Reach(reward_type=reward_type, goal_range=goal_range)))
+
+
 class MyCobotReachEnv(GymAdapter):
     def __init__(self, render: bool = False, reward_type: str = "sparse",
                  control_type: str = "js", goal_range=0.3, **kw):

@@ -17,13 +17,15 @@ from typing import Dict, Optional
 class RunLogger:
     def __init__(self, group: str = "default", name: Optional[str] = None,
                  config=None, root: str = "training/run_data",
-                 use_wandb: bool = False, project: str = "panda-gym-tpu"):
+                 use_wandb: bool = False, use_tensorboard: bool = False,
+                 project: str = "panda-gym-tpu"):
         stamp = time.strftime("%Y%m%d_%H%M%S")
         self.name = name or f"run_{stamp}"
         self.dir = os.path.join(root, group, self.name)
         os.makedirs(self.dir, exist_ok=True)
         self._fh = open(os.path.join(self.dir, "metrics.jsonl"), "a")
         self._wandb = None
+        self._tb = None
         if config is not None:
             cfg = asdict(config) if is_dataclass(config) else dict(config)
             cfg.pop("hyperparams", None)
@@ -36,6 +38,14 @@ class RunLogger:
                                          name=self.name, config=config)
             except Exception as e:  # no wandb / no network
                 print(f"wandb unavailable ({e}); logging to JSONL only")
+        if use_tensorboard:
+            # reference: SB3 writes TB events, W&B syncs them
+            # (setup_training.py:122 tensorboard_log, :163 sync_tensorboard)
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(os.path.join(self.dir, "tb"))
+            except Exception as e:
+                print(f"tensorboard unavailable ({e}); logging to JSONL only")
 
     def log(self, row: Dict):
         row = dict(row, _t=time.time())
@@ -43,11 +53,22 @@ class RunLogger:
         self._fh.flush()
         if self._wandb is not None:
             self._wandb.log(row)
+        if self._tb is not None:
+            step = int(row.get("global_step", row.get("step", 0)) or 0)
+            for k, v in row.items():
+                if k.startswith("_"):
+                    continue
+                try:
+                    self._tb.add_scalar(k, float(v), step)
+                except (TypeError, ValueError):
+                    pass  # non-scalar fields stay JSONL-only
 
     def close(self):
         self._fh.close()
         if self._wandb is not None:
             self._wandb.finish()
+        if self._tb is not None:
+            self._tb.close()
 
 
 def get_run_dirs(group: str, root: str = "training/run_data"):

@@ -13,6 +13,7 @@ from panda_gym_tpu.envs import panda_tasks
 
 ENV_IDS = [
     "PandaReach-v3", "PandaReachDense-v3", "PandaReachJoints-v3",
+    "PandaReachChecker-v3",
     "PandaPush-v3", "PandaPushDense-v3",
     "PandaSlide-v3",
     "PandaPickAndPlace-v3",

@@ -236,3 +236,45 @@ def test_sweep_sampling_and_driver(tmp_path):
     assert len(trials) == 3
     assert trials[0]["metrics"]["global_step"] == 1000.0  # best first
     assert any("error" in t["metrics"] for t in trials)   # failure recorded
+
+
+def test_imitation_prior_fill():
+    """fill_buffer_with_prior writes NEO-prior episodes into the HER buffer
+    (imitation_learning.py:6-56 equivalent)."""
+    from panda_gym_tpu.envs.panda_tasks import make_reach_core
+    from panda_gym_tpu.rl.imitation import fill_buffer_with_prior
+    from panda_gym_tpu.rl.train import VectorEnv
+
+    core = make_reach_core(control_type="js")
+    venv = VectorEnv(core, n_envs=4, horizon=8)
+    aux_dim = int(jax.eval_shape(
+        lambda s: core.task.reward_aux(core, s), core._template).shape[0])
+    buf = her.create(16, venv.horizon, venv.obs_dim, venv.goal_dim,
+                     venv.act_dim, aux_dim)
+    buf, stats = fill_buffer_with_prior(venv, buf, jax.random.PRNGKey(0),
+                                        n_rollouts=2)
+    assert int(buf.n_stored) == 8  # 2 rollouts x 4 envs
+    # stored episodes contain non-trivial actions and finite obs
+    assert float(jnp.abs(buf.action[:8]).max()) > 1e-4
+    assert bool(jnp.isfinite(buf.obs[:8]).all())
+
+
+def test_sweep_sampling_methods():
+    from panda_gym_tpu.rl import sweep as S
+
+    space = {
+        "learning_rate": S.Uniform(1e-4, 1e-2, log=True),
+        "batch_size": S.Categorical((128, 256, 512)),
+        "tau": S.Uniform(0.005, 0.05),
+    }
+    for method in ("halton", "random", "grid"):
+        cfgs = S.sample_configs(space, 9, method=method, seed=1)
+        assert len(cfgs) == 9
+        for c in cfgs:
+            assert 1e-4 <= c["learning_rate"] <= 1e-2
+            assert c["batch_size"] in (128, 256, 512)
+            assert 0.005 <= c["tau"] <= 0.05
+    # halton is deterministic
+    a = S.sample_configs(space, 5, method="halton")
+    b = S.sample_configs(space, 5, method="halton")
+    assert a == b

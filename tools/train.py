@@ -58,6 +58,9 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--group", default="default")
     p.add_argument("--name", default=None)
+    p.add_argument("--tensorboard", action="store_true",
+                   help="also write TB event files under the run dir "
+                        "(reference syncs SB3 TB logs, setup_training.py:163)")
     p.add_argument("--wandb", action="store_true",
                    help="also log to Weights & Biases if available")
     p.add_argument("--resume", default=None,
@@ -97,7 +100,7 @@ def main():
     cfg.hyperparams = Hyperparameters(args.algorithm)
 
     logger = RunLogger(group=args.group, name=args.name, config=cfg,
-                       use_wandb=args.wandb)
+                       use_wandb=args.wandb, use_tensorboard=args.tensorboard)
     print(f"run dir: {logger.dir}")
 
     make_env = lambda sc, thr, spd: make_reach_ao_core(
