@@ -391,14 +391,17 @@ class Trainer:
         with open(path, "wb") as f:
             pickle.dump(payload, f)
 
-    def load(self, path: str):
+    def load(self, path: str, restore_buffer: bool = True):
+        """restore_buffer=False starts fine-tuning with fresh replay — what
+        the reference's continue_learning effectively does (its buffer
+        reload is commented out, setup_training.py:80-82)."""
         import pickle
         with open(path, "rb") as f:
             payload = pickle.load(f)
         if isinstance(payload, dict) and "ts" in payload:
             self.ts = payload["ts"]
             self.timesteps = payload.get("timesteps", 0)
-            if "buffer" in payload:
+            if restore_buffer and "buffer" in payload:
                 self.buffer = payload["buffer"]
         else:  # legacy: raw TrainState pickle
             self.ts = payload

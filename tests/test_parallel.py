@@ -70,3 +70,20 @@ def test_trainer_runs_sharded(mesh):
     assert rows and all(np.isfinite(r["rollout_reward"]) for r in rows)
     # replay buffer episode axis is sharded over the mesh
     assert len(tr.buffer.obs.sharding.device_set) == 8
+
+
+def test_global_metric_mean_matches_host(mesh):
+    from panda_gym_tpu.parallel import mesh as M
+
+    x = jnp.arange(64, dtype=jnp.float32)
+    tree = {"a": x, "b": x * 2}
+    sharded = M.shard_env_batch(tree, mesh)
+    out = M.global_metric_mean(sharded, mesh)
+    assert np.allclose(out["a"], x.mean())
+    assert np.allclose(out["b"], 2 * x.mean())
+
+
+def test_initialize_multihost_noop_single_process():
+    from panda_gym_tpu.parallel.mesh import initialize_multihost
+
+    assert initialize_multihost() == 1

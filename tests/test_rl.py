@@ -187,6 +187,15 @@ def test_trainer_save_resume(tmp_path):
     leaves2 = jax.tree_util.tree_leaves(tr2.ts.actor_params)
     assert all(l1.shape == l2.shape for l1, l2 in zip(leaves1, leaves2))
 
+    # restore_buffer=False: learner restored, replay starts fresh (matches
+    # continue_learning — its buffer reload is commented out,
+    # setup_training.py:80-82)
+    tr3 = Trainer(cfg, mk)
+    tr3.load(path, restore_buffer=False)
+    assert tr3.buffer is None and tr3.timesteps == tr.timesteps
+    tr3.learn(seed=2)
+    assert tr3.buffer is not None
+
 
 def test_ppo_smoke():
     """PPO learner end-to-end: rollout collection with auto-reset + timeout

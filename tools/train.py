@@ -68,6 +68,11 @@ def parse_args():
     p.add_argument("--benchmark", action="store_true",
                    help="run the 13-scenario benchmark after training")
     p.add_argument("--benchmark-episodes", type=int, default=100)
+    p.add_argument("--no-resume-buffer", action="store_true",
+                   help="on --resume, start with a fresh replay buffer "
+                        "(matches the reference's continue_learning, whose "
+                        "buffer reload is commented out, "
+                        "setup_training.py:80-82)")
     return p.parse_args()
 
 
@@ -107,7 +112,7 @@ def main():
         scenario=sc, config=cfg, ee_error_threshold=thr, speed_threshold=spd)
     trainer = Trainer(cfg, make_env=make_env, logger=logger)
     if args.resume:
-        trainer.load(args.resume)
+        trainer.load(args.resume, restore_buffer=not args.no_resume_buffer)
         print(f"resumed learner from {args.resume}")
 
     trainer.learn(seed=args.seed)
