@@ -65,3 +65,60 @@ def test_render_state_smoke(reach_core):
     assert img.shape == (120, 160, 3)
     # scene is not a flat background
     assert len(np.unique(img.reshape(-1, 3), axis=0)) > 4
+
+
+def test_goal_maker_frozen_sets(tmp_path):
+    """make_scenario_goals: deterministic frozen goal sets per scenario
+    (reference evaluation/goal_maker.py:14-29)."""
+    from panda_gym_tpu.eval.goal_maker import make_scenario_goals
+
+    a = make_scenario_goals(["wangexp_3"], n_goals=16, seed=3)
+    b = make_scenario_goals(["wangexp_3"], n_goals=16, seed=3)
+    assert a == b
+    goals = np.asarray(a["wangexp_3"])
+    assert goals.shape == (16, 3)
+    # hollow-sphere sampler: radii in [0.5, 0.8] (reach_ao.py:573-585)
+    r = np.linalg.norm(goals - np.array([0.0, 0.0, 0.333]), axis=1)
+    assert (r > 0.3).all() and (r < 1.0).all()
+    # different seed differs
+    c = make_scenario_goals(["wangexp_3"], n_goals=16, seed=4)
+    assert c != a
+
+
+def test_interact_rows_and_policies():
+    """interact(): headless probe reports the HUD quantities per step
+    (reference evaluation/panda_interact.py:20-59)."""
+    from panda_gym_tpu.eval.interact import interact
+
+    rows = interact("reachao1", n_steps=3, policy="zero", verbose=False)
+    assert 1 <= len(rows) <= 3
+    for row in rows:
+        assert set(row) >= {"t", "ee_error", "min_obstacle_dist", "reward",
+                            "collided", "success"}
+        assert np.isfinite(row["ee_error"])
+
+
+def test_perform_benchmark_schema():
+    """perform_benchmark returns the reference's results schema
+    (evaluate.py:286-300)."""
+    from panda_gym_tpu.eval.benchmark import perform_benchmark
+    from panda_gym_tpu.rl.config import Hyperparameters
+    from panda_gym_tpu.rl.learners import make_learner
+    from panda_gym_tpu.envs.tasks.reach_ao import make_reach_ao_core
+
+    core = make_reach_ao_core("reachao1")
+    obs_probe = jax.eval_shape(core.reset, jax.random.PRNGKey(0))[1]
+    x_dim = (obs_probe["observation"].shape[0]
+             + 2 * obs_probe["achieved_goal"].shape[0])
+    learner = make_learner("SAC", x_dim, core.robot.action_dim,
+                           Hyperparameters("SAC"))
+    ts = learner.init(jax.random.PRNGKey(0))
+    res = perform_benchmark(learner, [ts], core, n_episodes=4, horizon=10,
+                            seed=0)
+    expected = {"scenario_episodes", "success_rate", "collision_rate",
+                "timeout_rate", "mean_ep_length", "mean_num_sim_steps",
+                "mean_effort", "mean_jerk", "mean_manipulability",
+                "mean_ee_speed", "mean_reward"}
+    assert expected <= set(res)
+    assert res["scenario_episodes"] == 4
+    assert 0.0 <= res["success_rate"] <= 1.0
