@@ -144,6 +144,11 @@ class TrainConfig:
     # evaluation settings
     eval_freq: int = 10_000
     n_eval_episodes: int = 100
+    # benchmark scenes evaluated during the FINAL curriculum stage, with a
+    # best-model snapshot per scene (setup_training.py:255-290
+    # eval_benchmark_scenes + get_eval_success_callbacks); [] disables
+    benchmark_eval_scenes: List[str] = field(default_factory=lambda: [
+        "library1", "library2", "narrow_tunnel", "workshop", "workshop2"])
 
     # observations and actions
     obs_type: Tuple[str, ...] = ("ee", "js")

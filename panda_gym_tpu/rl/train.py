@@ -267,6 +267,18 @@ class Trainer:
 
         reward_fn = self._reward_fn(core)
 
+        # Final stage: per-scene benchmark eval envs with best-model
+        # snapshots (setup_training.py:255-290: 5 eval_benchmark_scenes,
+        # an EvalSuccessCallback each, best_model_save_path per scene).
+        bench_venvs = {}
+        bench_best: Dict[str, float] = {}
+        if final and cfg.benchmark_eval_scenes:
+            for scene in cfg.benchmark_eval_scenes:
+                bench_venvs[scene] = VectorEnv(
+                    self.make_env(scene, ee_thr, sp_thr), cfg.n_envs,
+                    horizon, mesh=self.mesh)
+                bench_best[scene] = -1.0
+
         # optional NEO-prior bootstrap before any learning, first stage only
         # (setup_training.py:219-222 -> imitation_learning.py:6-56)
         if cfg.prior_steps > 0 and self.timesteps == 0:
@@ -349,6 +361,21 @@ class Trainer:
                                       timesteps=self.timesteps))
                 if self.logger is not None:
                     self.logger.log(dict(eval_success=sr, timesteps=self.timesteps))
+                for scene, bvenv in bench_venvs.items():
+                    key, k_b = jax.random.split(key)
+                    bsr = self.evaluate(bvenv, k_b,
+                                        n_episodes=cfg.n_eval_episodes)
+                    row = {f"{scene}_eval_success": bsr,
+                           "timesteps": self.timesteps}
+                    self.metrics.log(dict(row, scenario=scenario))
+                    if self.logger is not None:
+                        self.logger.log(row)
+                    run_dir = getattr(self.logger, "dir", None)
+                    if bsr > bench_best[scene] and run_dir:
+                        bench_best[scene] = bsr
+                        # best_model per scene (setup_training.py:277-279)
+                        self.save(os.path.join(run_dir,
+                                               f"best_model_{scene}.ckpt"))
                 if sr >= success_threshold and not final:
                     return True
         return False

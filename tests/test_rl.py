@@ -1,4 +1,5 @@
 """RL stack: HER buffer semantics, learner updates, QP/NEO, ensemble fusion."""
+import json
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -287,3 +288,38 @@ def test_sweep_sampling_methods():
     a = S.sample_configs(space, 5, method="halton")
     b = S.sample_configs(space, 5, method="halton")
     assert a == b
+
+
+def test_final_stage_benchmark_evals(tmp_path):
+    """Final curriculum stage evaluates the configured benchmark scenes and
+    snapshots a best model per scene (setup_training.py:255-290)."""
+    import os
+
+    from panda_gym_tpu.envs.tasks.reach_ao import make_reach_ao_core
+    from panda_gym_tpu.rl.config import TrainConfig
+    from panda_gym_tpu.rl.logging_utils import RunLogger
+    from panda_gym_tpu.rl.train import Trainer
+
+    cfg = TrainConfig()
+    cfg.n_envs = 4
+    cfg.stages = ["reachao1"]
+    cfg.success_thresholds = [2.0]
+    cfg.max_ep_steps = [5]
+    cfg.ee_error_thresholds = [0.05]
+    cfg.max_timesteps = 60
+    cfg.learning_starts = 10
+    cfg.eval_freq = 20
+    cfg.n_eval_episodes = 4
+    cfg.benchmark_eval_scenes = ["wall"]
+
+    logger = RunLogger(group="t", name="bench_eval", root=str(tmp_path))
+    mk = lambda s, e, sp: make_reach_ao_core(scenario=s, config=cfg,
+                                             ee_error_threshold=e,
+                                             speed_threshold=sp)
+    tr = Trainer(cfg, mk, logger=logger)
+    tr.learn(seed=0)
+    logger.close()
+    assert os.path.exists(os.path.join(logger.dir, "best_model_wall.ckpt"))
+    rows = [json.loads(l) for l in open(
+        os.path.join(logger.dir, "metrics.jsonl"))]
+    assert any("wall_eval_success" in r for r in rows)
