@@ -1,0 +1,185 @@
+"""Simulation facade tests — the reference's sim-facade unit suite.
+
+Mirrors test/pybullet_test.py (27 tests against golden engine values): dt
+semantics, gravity integration golden value, joint get/set round trips,
+motor control, link kinematics, IK, geometry factory, state snapshots,
+friction setters, render.
+"""
+import jax
+import numpy as np
+import pytest
+
+from panda_gym_tpu.sim.facade import Simulation
+
+NEUTRAL = [0.0, -0.3, 0.0, -2.2, 0.0, 2.0, 0.785]
+
+
+@pytest.fixture()
+def sim():
+    s = Simulation(n_substeps=20)
+    s.load_robot(base_position=(-0.6, 0.0, 0.0))
+    s.create_plane(z_offset=-0.4)
+    s.create_table(length=1.1, width=0.7, height=0.4)
+    return s
+
+
+def test_dt(sim):
+    """pybullet_test.py:30-35: dt == timestep * n_substeps == 0.04."""
+    assert sim.dt == pytest.approx(0.04)
+    assert Simulation(n_substeps=10).dt == pytest.approx(0.02)
+
+
+def test_gravity_free_fall_golden(sim):
+    """pybullet_test.py:56-64: after one step a free body falls with
+    v_z = -g * dt = -0.3924."""
+    sim.create_sphere("ball", radius=0.03, mass=1.0, position=(0.0, 0.0, 1.0))
+    sim.step()
+    v = sim.get_base_velocity("ball")
+    assert v[2] == pytest.approx(-9.81 * 0.04, rel=1e-4)
+    p = sim.get_base_position("ball")
+    assert 0.98 < p[2] < 1.0
+
+
+def test_joint_angle_roundtrip(sim):
+    sim.set_joint_angles("robot", list(range(7)), NEUTRAL)
+    q = sim.get_joint_angles("robot", list(range(7)))
+    np.testing.assert_allclose(q, NEUTRAL, atol=1e-7)
+    assert sim.get_joint_angle("robot", 3) == pytest.approx(-2.2)
+    # velocities zeroed by resetJointState semantics (pybullet.py:400-414)
+    assert np.allclose(sim.get_joint_velocities("robot", list(range(7))), 0)
+
+
+def test_control_joints_position_servo(sim):
+    """pybullet.py:437-463: POSITION control drives toward the target."""
+    sim.set_joint_angles("robot", list(range(7)), NEUTRAL)
+    tgt = list(NEUTRAL)
+    tgt[0] = 0.4
+    sim.control_joints("robot", list(range(7)), tgt)
+    for _ in range(30):
+        sim.step()
+    assert sim.get_joint_angle("robot", 0) == pytest.approx(0.4, abs=0.02)
+
+
+def test_link_kinematics(sim):
+    """pybullet_test.py:124-136: link positions from FK; ee above the
+    table, base-offset applied."""
+    sim.set_joint_angles("robot", list(range(7)), NEUTRAL)
+    ee = sim.get_link_position("robot", 11)
+    assert ee.shape == (3,)
+    assert np.isfinite(ee).all()
+    assert ee[2] > 0.2  # neutral pose holds the ee above the table
+    quat = sim.get_link_orientation("robot", 11)
+    assert np.linalg.norm(quat) == pytest.approx(1.0, abs=1e-5)
+    # static robot: zero link velocity
+    assert np.allclose(sim.get_link_velocity("robot", 11), 0, atol=1e-6)
+    assert np.allclose(sim.get_link_angular_velocity("robot", 11), 0,
+                       atol=1e-6)
+
+
+def test_inverse_kinematics(sim):
+    """pybullet_test.py:254-266: IK joint vector actually reaches the
+    target under FK."""
+    target = np.array([0.0, 0.2, 0.4])
+    q = sim.inverse_kinematics("robot", 11, target)
+    sim.set_joint_angles("robot", list(range(7)), q[:7])
+    err = np.linalg.norm(sim.get_link_position("robot", 11) - target)
+    assert err < 1e-4
+
+
+def test_geometry_factory_and_remove(sim):
+    """pybullet_test.py:276-323 creators + remove_body :104-115."""
+    sim.create_box("b", half_extents=(0.02, 0.02, 0.02), mass=0.5,
+                   position=(0.1, 0.0, 0.1))
+    sim.create_cylinder("c", radius=0.03, height=0.1, mass=0.2,
+                        position=(0.2, 0.0, 0.1))
+    sim.create_sphere("s", radius=0.02, mass=0.0, position=(0.3, 0.0, 0.1))
+    assert np.allclose(sim.get_base_position("b"), [0.1, 0.0, 0.1])
+    assert np.allclose(sim.get_base_position("s"), [0.3, 0.0, 0.1])
+    sim.step()  # compiles with 2 dynamic bodies + 1 obstacle
+    sim.remove_body("s")
+    sim.remove_body("c")
+    sim.step()  # recompiles after scene edit
+    with pytest.raises(KeyError):
+        sim.get_base_position("s")
+
+
+def test_set_base_pose(sim):
+    """pybullet.py:350-366."""
+    sim.create_box("b", half_extents=(0.02,) * 3, mass=0.5,
+                   position=(0.1, 0.0, 0.1))
+    sim.set_base_pose("b", (0.2, 0.1, 0.3), (0.0, 0.0, 0.0, 1.0))
+    assert np.allclose(sim.get_base_position("b"), [0.2, 0.1, 0.3])
+    rot = sim.get_base_rotation("b", type="euler")
+    assert np.allclose(rot, 0.0, atol=1e-6)
+
+
+def test_save_restore_state_exact(sim):
+    """pybullet_test.py save/restore + removed-state error (pybullet.py:
+    79-102)."""
+    sim.set_joint_angles("robot", list(range(7)), NEUTRAL)
+    sid = sim.save_state()
+    tgt = list(NEUTRAL)
+    tgt[1] = 0.5
+    sim.control_joints("robot", list(range(7)), tgt)
+    sim.step()
+    moved = sim.get_joint_angles("robot", list(range(7)))
+    assert not np.allclose(moved, NEUTRAL, atol=1e-5)
+    sim.restore_state(sid)
+    np.testing.assert_array_equal(
+        sim.get_joint_angles("robot", list(range(7))),
+        np.asarray(NEUTRAL, np.float32))
+    sim.remove_state(sid)
+    with pytest.raises(KeyError):
+        sim.restore_state(sid)
+
+
+def test_friction_setters(sim):
+    """pybullet.py:880-906."""
+    sim.create_box("b", half_extents=(0.02,) * 3, mass=0.5,
+                   position=(0.1, 0.0, 0.1))
+    sim.set_lateral_friction("b", link=-1, lateral_friction=0.04)
+    assert sim._bodies_idx["b"]["mu"] == pytest.approx(0.04)
+    sim.set_spinning_friction("b", link=-1, spinning_friction=0.01)
+    assert sim._bodies_idx["b"]["spinning_mu"] == pytest.approx(0.01)
+
+
+def test_obstacle_collision_flag():
+    """Static (mass 0) bodies participate in the collision check."""
+    sim = Simulation()
+    sim.load_robot()
+    # box enclosing the ee region at the zero pose -> shallow contact flags
+    sim.create_box("blocker", half_extents=(0.03, 0.03, 0.03), mass=0.0,
+                   position=(0.088, 0.0, 0.926))  # at zero-pose ee
+    for _ in range(3):
+        sim.step()
+    assert bool(sim._state.is_collided)
+
+
+def test_render_and_debug_lines(sim):
+    """pybullet.py:117-180 render + :858-878 debug lines."""
+    img_plain = sim.render(width=160, height=120)
+    sim.create_debug_line((0.0, 0.0, 0.2), (0.3, 0.3, 0.5), color=(1, 0, 0))
+    img = sim.render(width=160, height=120)
+    assert img.shape == (120, 160, 3) and img.dtype == np.uint8
+    assert (img != img_plain).any()
+
+
+def test_load_scenario_assets(sim):
+    """pybullet.py:518-532 loadURDF/load_scenario via assetc, with
+    globalScaling honored."""
+    import os
+    ref = "/root/reference/panda_gym/assets/scenarios/tunnel"
+    if not os.path.isdir(ref):
+        pytest.skip("reference assets unavailable")
+    sim.load_scenario(ref)
+    # tunnel manifest: globalScaling 1.4 -> bottom wall center x = 0.455
+    pos = sim.get_base_position("tunnel_box0")
+    assert pos[0] == pytest.approx(0.455, abs=1e-6)
+
+
+def test_no_rendering_ctx_and_close(sim):
+    with sim.no_rendering():
+        sim.create_sphere("tmp", radius=0.01, mass=0.0, position=(1, 1, 1))
+    sim.place_visualizer(target_position=np.zeros(3), distance=0.9, yaw=45,
+                         pitch=-30)
+    sim.close()
