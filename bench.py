@@ -15,6 +15,7 @@ SubprocVecEnv workers, README.md:6) — reported as secondary context.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -72,5 +73,40 @@ def main():
     }))
 
 
+def _watchdog_main():
+    """Run the measurement in a child process with a hard deadline.
+
+    The TPU tunnel can wedge (observed: device-to-host transfers hanging
+    indefinitely while dispatch still works); a hang here would leave the
+    driver with no output at all.  The child prints the JSON line on
+    success; on timeout/failure the parent reports an explicit error record
+    instead of hanging.
+    """
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--child",
+           *sys.argv[1:]]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=540)
+        out = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if out:
+            print(out[-1])
+            return
+        err = (proc.stderr or "").strip().splitlines()
+        note = err[-1][:200] if err else f"exit {proc.returncode}, no output"
+    except subprocess.TimeoutExpired:
+        note = "timeout: TPU backend unresponsive (tunnel hang)"
+    print(json.dumps({
+        "metric": "env_steps_per_sec_per_chip_reach4096",
+        "value": 0.0, "unit": "steps/s", "vs_baseline": 0.0,
+        "error": note,
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv:
+        sys.argv.remove("--child")
+        main()
+    else:
+        _watchdog_main()
