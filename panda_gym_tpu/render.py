@@ -214,3 +214,27 @@ def render_state(core, state, width=720, height=480, target_position=None,
                 continue
             tris.append((u, v, z, pts3, color))
     return _raster(tris, None, width, height)
+
+
+def save_video(frames, path: str, fps: int = 25) -> str:
+    """Write a frame sequence as an animated GIF (PIL) or PNG directory.
+
+    Offline replacement for the reference's Bullet-GUI mp4 capture
+    (pybullet.py:41-47 "--mp4" loggingType option): rollouts render frames
+    with render_state/render_env and this packs them for humans.  GIF when
+    `path` ends with .gif; otherwise a directory of numbered PNGs.
+    """
+    import os
+
+    frames = [np.asarray(f, np.uint8) for f in frames]
+    if path.endswith(".gif"):
+        from PIL import Image
+        imgs = [Image.fromarray(f) for f in frames]
+        imgs[0].save(path, save_all=True, append_images=imgs[1:],
+                     duration=int(1000 / fps), loop=0)
+        return path
+    os.makedirs(path, exist_ok=True)
+    from PIL import Image
+    for i, f in enumerate(frames):
+        Image.fromarray(f).save(os.path.join(path, f"frame_{i:04d}.png"))
+    return path

@@ -122,3 +122,19 @@ def test_perform_benchmark_schema():
     assert expected <= set(res)
     assert res["scenario_episodes"] == 4
     assert 0.0 <= res["success_rate"] <= 1.0
+
+
+def test_save_video_gif_and_frames(reach_core, tmp_path):
+    """render.save_video: GIF + PNG-sequence export (offline equivalent of
+    the reference's Bullet-GUI mp4 capture, pybullet.py:41-47)."""
+    import os
+
+    from panda_gym_tpu.render import render_state, save_video
+
+    core = reach_core
+    state, _ = core.reset(jax.random.PRNGKey(0))
+    frames = [render_state(core, state, width=80, height=60)] * 3
+    gif = save_video(frames, str(tmp_path / "roll.gif"), fps=10)
+    assert os.path.getsize(gif) > 100
+    d = save_video(frames, str(tmp_path / "frames"))
+    assert len(os.listdir(d)) == 3
