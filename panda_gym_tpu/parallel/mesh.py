@@ -9,7 +9,6 @@ mesh over jax.distributed processes (ICI within a slice, DCN across).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
@@ -45,6 +44,21 @@ def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
+def _multihost_env_detected() -> bool:
+    """True when a cluster launcher's environment indicates >1 host.
+
+    TPU_WORKER_HOSTNAMES counts only with multiple entries (single-host TPU
+    runtimes set it to "localhost")."""
+    import os
+
+    for k in ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS",
+              "JAX_COORDINATOR_ADDRESS"):
+        if os.environ.get(k):
+            return True
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    return len([h for h in hosts.split(",") if h.strip()]) > 1
+
+
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
                          process_id: Optional[int] = None) -> int:
@@ -54,13 +68,19 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     its only IPC, SURVEY §2.2); here multi-host is one call — afterwards
     jax.devices() spans all hosts and make_env_mesh() shards the env axis
     over the whole slice (collectives ride ICI/DCN, inserted by XLA).
-    Arguments default to TPU auto-detection (JAX coordination service).
-    Returns the process count.
+
+    Must run before any JAX computation (jax.distributed contract), so this
+    never queries the backend on the no-op path: with no explicit arguments
+    it only engages when a cluster launcher's environment markers are
+    present (TPU auto-detection); otherwise it returns 1 without touching
+    JAX.  Returns the process count.
     """
-    if num_processes == 1 or (coordinator_address is None
-                              and jax.process_count() == 1
-                              and num_processes is None):
-        return jax.process_count()
+    if num_processes == 1:
+        return 1
+    explicit = any(v is not None for v in (coordinator_address,
+                                           num_processes, process_id))
+    if not explicit and not _multihost_env_detected():
+        return 1  # single-host; leave the backend untouched
     kwargs = {}
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address
@@ -72,15 +92,22 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     return jax.process_count()
 
 
+_METRIC_MEAN_CACHE: dict = {}
+
+
 def global_metric_mean(tree, mesh: Mesh):
     """Mean of per-env metric arrays across the full sharded env axis.
 
     jit-compiled with replicated output: XLA lowers the reduction to a
     psum over the mesh (the "metrics psum" of SURVEY §5.8) instead of
-    gathering per-env values to the host.
+    gathering per-env values to the host.  The jitted reduction is cached
+    per mesh so repeated logging calls never retrace.
     """
-    @partial(jax.jit, out_shardings=replicated(mesh))
-    def _mean(t):
-        return jax.tree_util.tree_map(lambda x: jnp.mean(x, axis=0), t)
-
-    return _mean(tree)
+    fn = _METRIC_MEAN_CACHE.get(mesh)
+    if fn is None:
+        fn = jax.jit(
+            lambda t: jax.tree_util.tree_map(
+                lambda x: jnp.mean(x, axis=0), t),
+            out_shardings=replicated(mesh))
+        _METRIC_MEAN_CACHE[mesh] = fn
+    return fn(tree)

@@ -198,9 +198,9 @@ def render_state(core, state, width=720, height=480, target_position=None,
             prims.append((_box_tris(pos, size), (1.0, 0.5, 0.0)))
         else:
             prims.append((_uv_sphere_tris(pos, size[0]), (1.0, 0.1, 0.1)))
-    # goal marker
+    # goal marker (skip far-away sentinel goals, e.g. the facade's)
     goal = np.asarray(state.goal)
-    if goal.shape[0] == 3:
+    if goal.shape[0] == 3 and np.linalg.norm(goal) < 100.0:
         prims.append((_uv_sphere_tris(goal, 0.02), (0.1, 0.9, 0.1)))
 
     target = target_position if target_position is not None else np.zeros(3)
@@ -227,6 +227,10 @@ def save_video(frames, path: str, fps: int = 25) -> str:
     import os
 
     frames = [np.asarray(f, np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("save_video: empty frame list")
+    if fps <= 0:
+        raise ValueError(f"save_video: fps must be positive, got {fps}")
     if path.endswith(".gif"):
         from PIL import Image
         imgs = [Image.fromarray(f) for f in frames]

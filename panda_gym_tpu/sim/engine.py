@@ -270,10 +270,13 @@ def make_physics_step(
     freeze_on_collision: bool = True,
     has_bodies: bool = True,
     moving_obstacles: bool = False,
+    timestep: float = TIMESTEP,
+    gravity: Tuple[float, float, float] = (0.0, 0.0, -9.81),
 ):
-    """Build the jit-able physics step: 20 substeps of 1/500 s (pybullet dt
-    semantics, pybullet.py:63-71)."""
-    dt = TIMESTEP
+    """Build the jit-able physics step: n_substeps of `timestep` (pybullet
+    dt semantics, pybullet.py:63-71; defaults 20 x 1/500 s)."""
+    dt = timestep
+    grav = jnp.asarray(gravity)
     nb = scene.nb
 
     need_fk = (has_bodies and nb > 0 and robot_contact) or check_collision
@@ -316,7 +319,7 @@ def make_physics_step(
             new_pos, new_quat, new_vel, new_ang = [], [], [], []
             for b in range(nb):
                 m = scene.body_mass[b]
-                v = state.body_vel[b] + dt * (forces[b] / m + GRAVITY)
+                v = state.body_vel[b] + dt * (forces[b] / m + grav)
                 p = state.body_pos[b] + dt * v
                 I_w = Rs[b] @ jnp.diag(scene.body_inertia[b]) @ Rs[b].T
                 om = state.body_ang[b]
@@ -344,7 +347,7 @@ def make_physics_step(
         # robot substep
         q, qd = D.motor_substep(
             model, state.q, state.qd, state.ctrl_target, dt, ctrl_mode,
-            tau_ext=tau_ext)
+            gravity=gravity, tau_ext=tau_ext)
 
         new_state = state.replace(
             q=q, qd=qd, body_pos=body_pos, body_quat=body_quat,

@@ -141,7 +141,8 @@ class Simulation:
         """
         if name in self._bodies_idx:
             raise ValueError(f"body name {name!r} already exists")
-        rec = dict(kind="body" if mass > 0 else "obstacle",
+        kind = "ghost" if ghost else ("body" if mass > 0 else "obstacle")
+        rec = dict(kind=kind,
                    shape=int(shape), size=np.asarray(size, float),
                    mass=float(mass),
                    mu=1.0 if lateral_friction is None else float(lateral_friction),
@@ -227,7 +228,7 @@ class Simulation:
 
     def _obstacles(self):
         return [(n, r) for n, r in self._bodies_idx.items()
-                if r.get("kind") == "obstacle" and not r["ghost"]]
+                if r.get("kind") == "obstacle"]
 
     def _ensure_state(self) -> EnvState:
         if self._physics is not None and self._state is not None:
@@ -252,7 +253,12 @@ class Simulation:
             ctrl_mode=self._ctrl_mode,
             robot_contact=len(dyn) > 0,
             check_collision=len(obs) > 0,
+            # stepping never halts in the reference facade; is_collided is a
+            # sticky query flag here, cleared with reset_collision_flag()
+            freeze_on_collision=False,
             has_bodies=len(dyn) > 0,
+            timestep=self.timestep,
+            gravity=self.gravity,
         ))
         no = max(len(obs), 0)
         nb = scene.nb
@@ -277,13 +283,18 @@ class Simulation:
                 if obs else np.zeros((0, 3)), jnp.float32),
             obstacle_vel=jnp.zeros((no, 3)),
             obstacle_size=jnp.asarray(
-                np.stack([r["size"] for _, r in obs])
+                np.stack([np.array([r["size"][0], r["size"][0],
+                                    r["size"][1]])
+                          if r["shape"] == SHAPE_CYLINDER else r["size"]
+                          for _, r in obs])
                 if obs else np.zeros((0, 3)), jnp.float32),
+            # spheres stay spheres; boxes stay boxes; a static cylinder is
+            # approximated by its bounding box (axis z): half (r, r, h/2)
             obstacle_type=jnp.asarray(
-                [OBS_BOX if r["shape"] == SHAPE_BOX else OBS_SPHERE
+                [OBS_SPHERE if r["shape"] == SHAPE_SPHERE else OBS_BOX
                  for _, r in obs], jnp.int32),
             obstacle_active=jnp.ones((no,), bool),
-            goal=jnp.zeros(3), key=jax.random.PRNGKey(0),
+            goal=jnp.full(3, 1e6), key=jax.random.PRNGKey(0),
             steps=jnp.asarray(0, jnp.int32),
             is_collided=jnp.asarray(False),
             goal_reached=jnp.asarray(False),
@@ -299,12 +310,26 @@ class Simulation:
         return state
 
     def _pull_robot(self):
-        self._q = np.array(self._state.q)    # writable host copies
-        self._qd = np.array(self._state.qd)
+        """Sync host-side mirrors from the stepped EnvState: robot q/qd,
+        ctrl targets, and every dynamic-body/obstacle record — so scene
+        edits that rebuild the state preserve poses reached by stepping."""
+        s = self._state
+        self._q = np.array(s.q)              # writable host copies
+        self._qd = np.array(s.qd)
+        self._ctrl_target = np.array(s.ctrl_target)
+        for i, (_n, rec) in enumerate(self._dynamic_bodies()):
+            rec["position"] = np.array(s.body_pos[i])
+            rec["quat"] = np.array(s.body_quat[i])
+            rec["velocity"] = np.array(s.body_vel[i])
+            rec["ang"] = np.array(s.body_ang[i])
+        for i, (_n, rec) in enumerate(self._obstacles()):
+            rec["position"] = np.array(s.obstacle_pos[i])
 
     def _body_index(self, body_name: str) -> Tuple[str, int]:
         rec = self._bodies_idx[body_name]
         kind = rec.get("kind")
+        if kind == "ghost":
+            return "ghost", -1
         if kind == "body":
             return "body", [n for n, _ in self._dynamic_bodies()].index(body_name)
         if kind == "obstacle":
@@ -320,6 +345,8 @@ class Simulation:
             return np.asarray(state.body_pos[i])
         if kind == "obstacle":
             return np.asarray(state.obstacle_pos[i])
+        if kind == "ghost":
+            return np.asarray(self._bodies_idx[body_name]["position"])
         if kind == "robot":
             return np.asarray(self._robot_model.base_pos)
         raise ValueError(f"{body_name} has no base position")
@@ -329,6 +356,8 @@ class Simulation:
         kind, i = self._body_index(body_name)
         if kind == "body":
             return np.asarray(self._ensure_state().body_quat[i])
+        if kind == "ghost":
+            return np.asarray(self._bodies_idx[body_name]["quat"])
         return np.array([0.0, 0.0, 0.0, 1.0])
 
     def get_base_rotation(self, body_name: str, type: str = "euler"):
@@ -346,6 +375,8 @@ class Simulation:
             return np.asarray(state.body_vel[i])
         if kind == "obstacle":
             return np.asarray(state.obstacle_vel[i])
+        if kind == "ghost":
+            return np.asarray(self._bodies_idx[body_name]["velocity"])
         return np.zeros(3)
 
     def get_base_angular_velocity(self, body_name: str) -> np.ndarray:
@@ -463,6 +494,13 @@ class Simulation:
                      None if orientation is None else jnp.asarray(orientation),
                      q0=jnp.asarray(self._q, jnp.float32))
         return np.asarray(q)
+
+    def reset_collision_flag(self) -> None:
+        """Clear the sticky is_collided flag (the engine latches it; the
+        reference has no facade-level flag at all — tasks own it)."""
+        if self._state is not None:
+            self._state = self._state.replace(
+                is_collided=jnp.asarray(False))
 
     # ------------------------------------------------------ state snapshots
     def save_state(self) -> int:

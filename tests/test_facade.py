@@ -183,3 +183,82 @@ def test_no_rendering_ctx_and_close(sim):
     sim.place_visualizer(target_position=np.zeros(3), distance=0.9, yaw=45,
                          pitch=-30)
     sim.close()
+
+
+def test_ghost_bodies_addressable(sim):
+    """Ghost bodies (reference target markers) are name-addressable but
+    excluded from collision (pybullet.py ghost semantics)."""
+    sim.create_sphere("target", radius=0.02, mass=0.0, ghost=True,
+                      position=(0.2, 0.1, 0.3))
+    assert np.allclose(sim.get_base_position("target"), [0.2, 0.1, 0.3])
+    sim.set_base_pose("target", (0.3, 0.0, 0.2), (0, 0, 0, 1))
+    assert np.allclose(sim.get_base_position("target"), [0.3, 0.0, 0.2])
+    sim.step()  # compiles without the ghost in the obstacle arrays
+    assert not bool(sim._state.is_collided)
+
+
+def test_scene_edit_preserves_stepped_state(sim):
+    """Scene mutations must not rewind dynamic bodies to spawn poses."""
+    sim.create_sphere("ball", radius=0.03, mass=1.0, position=(0.0, 0.0, 1.0))
+    for _ in range(5):
+        sim.step()
+    z_fallen = sim.get_base_position("ball")[2]
+    assert z_fallen < 0.95
+    sim.create_sphere("late", radius=0.02, mass=0.0, position=(1, 1, 1))
+    sim.step()  # rebuild with the stepped pose, not the spawn pose
+    assert sim.get_base_position("ball")[2] < z_fallen
+
+
+def test_timestep_and_gravity_honored():
+    """Non-default constructor args must reach the engine."""
+    moon = Simulation(n_substeps=10, timestep=1.0 / 240.0,
+                      gravity=(0.0, 0.0, -1.62))
+    moon.load_robot()
+    moon.create_plane(z_offset=-10.0)
+    moon.create_sphere("ball", radius=0.03, mass=1.0, position=(0.5, 0, 1.0))
+    moon.step()
+    v = moon.get_base_velocity("ball")
+    assert v[2] == pytest.approx(-1.62 * moon.dt, rel=1e-4)
+
+
+def test_collision_does_not_freeze_stepping(sim):
+    """The reference facade never halts on contact; is_collided is a sticky
+    query flag cleared by reset_collision_flag()."""
+    sim.create_box("blocker", half_extents=(0.03, 0.03, 0.03), mass=0.0,
+                   position=(0.088 - 0.6, 0.0, 0.926))  # at zero-pose ee
+    for _ in range(3):
+        sim.step()
+    assert bool(sim._state.is_collided)
+    # robot still responds to control after contact
+    sim.control_joints("robot", [0], [0.5])
+    for _ in range(20):
+        sim.step()
+    assert sim.get_joint_angle("robot", 0) == pytest.approx(0.5, abs=0.05)
+    sim.reset_collision_flag()
+    assert not bool(sim._state.is_collided)
+
+
+def test_static_cylinder_is_volumetric(sim):
+    """A static cylinder must block along its full height (bounding-box
+    approximation), not just a sphere of its radius."""
+    sim.create_cylinder("pillar", radius=0.05, height=0.6, mass=0.0,
+                        position=(0.5, 0.0, 0.3))
+    st = sim._ensure_state()
+    i = [n for n, _ in sim._obstacles()].index("pillar")
+    assert np.allclose(np.asarray(st.obstacle_size[i]), [0.05, 0.05, 0.3])
+
+
+def test_restore_state_restores_ctrl_targets(sim):
+    """After restore, a partial control_joints must not resurrect stale
+    pre-restore targets for the untouched joints."""
+    sim.set_joint_angles("robot", list(range(7)), NEUTRAL)
+    sim.control_joints("robot", list(range(7)), NEUTRAL)
+    sid = sim.save_state()
+    pose_a = list(NEUTRAL)
+    pose_a[1] = 0.6
+    sim.control_joints("robot", list(range(7)), pose_a)
+    sim.step()
+    sim.restore_state(sid)
+    sim.control_joints("robot", [0], [0.3])  # partial update
+    tgt = np.asarray(sim._state.ctrl_target)
+    assert tgt[1] == pytest.approx(NEUTRAL[1])  # not pose_a's 0.6
