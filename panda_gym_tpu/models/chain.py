@@ -204,8 +204,12 @@ def build_chain(
     if not cap_body:  # keep shapes non-empty for jit friendliness
         cap_body, cap_p0, cap_p1, cap_r, cap_g = [-1], [np.zeros(3)], [np.zeros(3)], [0.0], [-1]
 
-    f = lambda x: jnp.asarray(np.asarray(x), dtype=dtype)
-    i = lambda x: jnp.asarray(np.asarray(x), dtype=jnp.int32)
+    # Model constants stay HOST-side numpy: they are trace-time constants
+    # (every consumer closes over the model, so jit folds them), and keeping
+    # them off-device avoids device->host reads at env construction — the
+    # TPU tunnel's D2H path is high-latency and has been observed to wedge.
+    f = lambda x: np.asarray(np.asarray(x), dtype=dtype)
+    i = lambda x: np.asarray(np.asarray(x), dtype=np.int32)
     return ChainModel(
         parent=i(parent), joint_type=i(jtype),
         X_R=f(X_R), X_p=f(X_p), axis=f(axis),

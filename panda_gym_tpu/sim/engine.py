@@ -204,7 +204,8 @@ def group_obstacle_distances(model: ChainModel, fk, state: EnvState,
 
     # reduce to per-group minimum
     ngroup = model.ngroup
-    group = model.cap_group                                  # (ncap,)
+    # model constants are host numpy; promote for tracer-safe indexing
+    group = jnp.asarray(model.cap_group)                     # (ncap,)
     flat_d = dist.reshape(-1)
     flat_pc = pc.reshape(-1, 3)
     flat_po = po.reshape(-1, 3)
