@@ -279,9 +279,11 @@ class Trainer:
                     horizon, mesh=self.mesh)
                 bench_best[scene] = -1.0
 
-        # optional NEO-prior bootstrap before any learning, first stage only
-        # (setup_training.py:219-222 -> imitation_learning.py:6-56)
-        if cfg.prior_steps > 0 and self.timesteps == 0:
+        # optional NEO-prior bootstrap before any learning
+        # (setup_training.py:219-222 -> imitation_learning.py:6-56): fires
+        # whenever the replay buffer holds nothing yet — fresh runs AND
+        # resumed fine-tunes started with --no-resume-buffer.
+        if cfg.prior_steps > 0 and int(self.buffer.n_stored) == 0:
             from panda_gym_tpu.rl.imitation import fill_buffer_with_prior
             n_roll = max(1, -(-cfg.prior_steps // transitions_per_rollout))
             key, k_p = jax.random.split(key)

@@ -77,6 +77,13 @@ def parse_args():
 
 
 def main():
+    # diagnosability on the TPU tunnel: `kill -USR1 <pid>` dumps all thread
+    # stacks to stderr without killing the run (hangs have historically been
+    # device-transfer wedges; see docs/guide/performance.md)
+    import faulthandler
+    import signal
+    faulthandler.register(signal.SIGUSR1)
+
     args = parse_args()
 
     from panda_gym_tpu.envs.tasks.reach_ao import make_reach_ao_core
