@@ -351,7 +351,10 @@ class GymAdapter(_gym.Env):
     # task/robot passthroughs used by training/eval code
     @property
     def robot(self):
-        return self.env.robot
+        """State-bound robot view: the functional robot's attributes plus the
+        reference's getter names (panda.py:264-317, core.py:105-209) evaluated
+        against this adapter's current EnvState."""
+        return BoundRobot(self)
 
     @property
     def task(self):
@@ -360,3 +363,68 @@ class GymAdapter(_gym.Env):
     @property
     def state(self) -> EnvState:
         return self._state
+
+
+class BoundRobot:
+    """Reference-named robot accessors bound to a GymAdapter's live state.
+
+    Delegates every other attribute to the functional robot, so framework
+    code (`action_dim`, `robot_obs`, ...) keeps working while reference users
+    find `get_ee_position()` etc. (panda.py:264-317, mycobot.py:209-230,
+    core.py:105-209).
+    """
+
+    def __init__(self, adapter: "GymAdapter"):
+        object.__setattr__(self, "_adapter", adapter)
+        object.__setattr__(self, "_robot", adapter.env.robot)
+
+    def __getattr__(self, name):
+        return getattr(object.__getattribute__(self, "_robot"), name)
+
+    def _fk(self):
+        a = self._adapter
+        return K.fk_world(a.env.model, a.state.q, a.state.qd)
+
+    # panda.py:306-312
+    def get_ee_position(self):
+        return np.asarray(self._robot.ee_position(self._fk()))
+
+    def get_ee_velocity(self):
+        return np.asarray(self._robot.ee_velocity(self._fk()))
+
+    # panda.py:300-304
+    def get_fingers_width(self):
+        return float(np.asarray(self._robot.fingers_width(self._adapter.state)))
+
+    # panda.py:314-317 Yoshikawa manipulability
+    def get_manipulability(self):
+        return float(np.asarray(self._robot.manipulability(self._adapter.state.q)))
+
+    # core.py:150-171 joint getters (arm joints indexed as in the chain)
+    def get_joint_angle(self, joint: int) -> float:
+        return float(np.asarray(self._adapter.state.q[joint]))
+
+    def get_joint_velocity(self, joint: int) -> float:
+        return float(np.asarray(self._adapter.state.qd[joint]))
+
+    # core.py:195-209 IK passthrough (DLS IK, replaces calculateInverseKinematics)
+    def inverse_kinematics(self, link: int, position, orientation=None):
+        q = K.dls_ik(self._robot.model, link, jnp.asarray(position),
+                     None if orientation is None else jnp.asarray(orientation),
+                     q0=self._adapter.state.q)
+        return np.asarray(q)
+
+    # panda.py:264-288 — the robot part of the observation
+    def get_obs(self):
+        a = self._adapter
+        return np.asarray(self._robot.robot_obs(a.state, self._fk()))
+
+    # panda.py:290-298 — mutate the adapter's live state
+    def set_joint_neutral(self) -> None:
+        a = self._adapter
+        q = jnp.asarray(self._robot.neutral)  # full-ndof neutral pose
+        a._state = a.state.replace(q=q, qd=jnp.zeros_like(a.state.qd),
+                                   ctrl_target=q)
+
+    def reset(self) -> None:
+        self.set_joint_neutral()

@@ -444,6 +444,23 @@ class Simulation:
         rec["velocity"] = np.asarray(velocity, float)
         self._sync_record_to_state(body_name)
 
+    def set_base_pose_dummy(self, body_id, position, orientation,
+                            physics_client=None) -> None:
+        """pybullet.py:383-399 — raw-id variant (accepts a name here; the
+        raw-handle/secondary-client distinction has no referent without a
+        separate C++ client). Euler orientations are converted like
+        getQuaternionFromEuler."""
+        if len(np.asarray(orientation)) == 3:
+            from panda_gym_tpu.math import transforms as T
+            orientation = np.asarray(
+                T.quat_from_euler(jnp.asarray(orientation, jnp.float32)))
+        self.set_base_pose(body_id, position, orientation)
+
+    def set_base_velocity_dummy(self, body_id, velocity,
+                                physics_client=None) -> None:
+        """pybullet.py:401-414 — raw-id variant of set_base_velocity."""
+        self.set_base_velocity(body_id, velocity)
+
     def _sync_record_to_state(self, body_name: str) -> None:
         if self._state is None:
             return
@@ -543,6 +560,18 @@ class Simulation:
 
     def remove_debug_text(self, text_name: str) -> None:
         self._debug_texts.pop(text_name, None)
+
+    def remove_all_debug_text(self) -> None:
+        """pybullet.py:867-869 removeAllUserDebugItems."""
+        self._debug_texts.clear()
+
+    def set_debug_object_color(self, body_name: str,
+                               color=(0.0, 1.0, 0.0)) -> None:
+        """pybullet.py:871-878 setDebugObjectColor (recorded; picked up by
+        the software renderer's per-body color)."""
+        rec = self._bodies_idx.get(body_name)
+        if rec is not None:
+            rec["debug_color"] = np.asarray(color, float)
 
     def create_debug_line(self, start, end, color=(0, 1, 0), width=1.0,
                           lifetime: float = 0.0) -> int:
