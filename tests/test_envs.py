@@ -166,3 +166,30 @@ def test_object_rests_on_table(gym):
     z = obs["achieved_goal"][2]
     assert 0.012 < z < 0.028, z
     env.close()
+
+
+def test_bound_robot_reference_getters():
+    """GymAdapter.robot exposes the reference's Panda getter surface
+    (panda.py:264-317, core.py:105-209) bound to the live state."""
+    import gymnasium as gym
+    import panda_gym_tpu
+    panda_gym_tpu.register_envs(max_ep_steps=50)
+    env = gym.make("PandaReach-v3").unwrapped
+    env.reset(seed=3)
+    r = env.robot
+    p0 = r.get_ee_position()
+    assert p0.shape == (3,) and np.all(np.isfinite(p0))
+    assert r.get_ee_velocity().shape == (3,)
+    assert isinstance(r.get_fingers_width(), float)
+    assert r.get_manipulability() > 0.0
+    assert isinstance(r.get_joint_angle(0), float)
+    assert isinstance(r.get_joint_velocity(0), float)
+    assert r.get_obs().shape[0] >= 6
+    assert r.action_dim == env.action_space.shape[0]  # delegation intact
+    q = r.inverse_kinematics(r.ee_site, np.array([0.3, 0.0, 0.3]))
+    assert np.all(np.isfinite(q))
+    env.step(env.action_space.sample())
+    p1 = env.robot.get_ee_position()
+    r.set_joint_neutral()  # mutates live state
+    p2 = env.robot.get_ee_position()
+    assert not np.allclose(p1, p2) or np.allclose(p0, p1)

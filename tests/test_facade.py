@@ -262,3 +262,20 @@ def test_restore_state_restores_ctrl_targets(sim):
     sim.control_joints("robot", [0], [0.3])  # partial update
     tgt = np.asarray(sim._state.ctrl_target)
     assert tgt[1] == pytest.approx(NEUTRAL[1])  # not pose_a's 0.6
+
+
+def test_dummy_pose_velocity_and_debug_surface(sim):
+    """pybullet.py:383-414,867-878: raw-id pose/velocity setters (Euler
+    orientations converted) and debug bookkeeping survive round trips."""
+    sim.create_sphere("probe", radius=0.03, mass=1.0, position=(0.2, 0.0, 0.5))
+    sim.set_base_pose_dummy("probe", np.array([0.3, 0.1, 0.6]),
+                            np.array([0.0, 0.0, 0.0]))  # 3-vec => Euler
+    assert np.allclose(sim.get_base_position("probe"), [0.3, 0.1, 0.6])
+    sim.set_base_velocity_dummy("probe", np.array([0.5, 0.0, 0.0]))
+    assert np.allclose(sim.get_base_velocity("probe"), [0.5, 0.0, 0.0])
+    sim.set_debug_object_color("probe", (1.0, 0.0, 0.0))
+    assert np.allclose(sim._bodies_idx["probe"]["debug_color"], [1, 0, 0])
+    sim.create_debug_text("hud", "x")
+    sim.create_debug_text("hud2", "y")
+    sim.remove_all_debug_text()
+    assert sim._debug_texts == {}
