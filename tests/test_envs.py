@@ -19,6 +19,7 @@ ENV_IDS = [
     "PandaPickAndPlace-v3",
     "PandaStack-v3",
     "PandaFlip-v3",
+    "MyCobotReach-v0",
 ]
 
 
