@@ -1,0 +1,70 @@
+"""Summarize a training campaign: per-run benchmark tables -> one combined
+per-scene table (generalist + per-scene fine-tune + best-of), written as
+summary.md / summary.json next to the runs.
+
+Equivalent of the reference's cross-run W&B report tables
+(setup_training.py:369-381 wandb.Table logging); here a plain artifact.
+
+Usage: python tools/summarize_campaign.py training/run_data/round1_campaign
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+
+def load_benchmarks(group_dir: str):
+    runs = {}
+    for name in sorted(os.listdir(group_dir)):
+        path = os.path.join(group_dir, name, "benchmark.json")
+        if os.path.isfile(path):
+            with open(path) as f:
+                runs[name] = json.load(f)
+    return runs
+
+
+def summarize(group_dir: str):
+    runs = load_benchmarks(group_dir)
+    if not runs:
+        raise SystemExit(f"no benchmark.json under {group_dir}")
+    base_name = next((n for n in runs if "base" in n), next(iter(runs)))
+    scenes = list(runs[base_name].keys())
+
+    summary = {}
+    for scene in scenes:
+        per_run = {n: r[scene]["success_rate"] for n, r in runs.items()
+                   if scene in r}
+        # a fine-tune run only "claims" its own scene; the generalist claims all
+        candidates = {n: s for n, s in per_run.items()
+                      if n == base_name or scene in n}
+        best_run = max(candidates, key=candidates.get)
+        summary[scene] = {
+            "base_success": per_run.get(base_name),
+            "best_success": candidates[best_run],
+            "best_model": best_run,
+            "collision_rate_best": runs[best_run][scene]["collision_rate"],
+        }
+
+    with open(os.path.join(group_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+
+    lines = ["| scene | generalist | best model | success | collision |",
+             "|---|---|---|---|---|"]
+    for scene, row in summary.items():
+        lines.append(
+            f"| {scene} | {row['base_success']:.2f} | {row['best_model']} "
+            f"| {row['best_success']:.2f} | {row['collision_rate_best']:.2f} |")
+    md = "\n".join(lines) + "\n"
+    with open(os.path.join(group_dir, "summary.md"), "w") as f:
+        f.write(md)
+    print(md)
+    mean_best = sum(r["best_success"] for r in summary.values()) / len(summary)
+    mean_base = sum(r["base_success"] for r in summary.values()) / len(summary)
+    print(f"mean success: generalist {mean_base:.3f} -> per-scene best {mean_best:.3f}")
+    return summary
+
+
+if __name__ == "__main__":
+    summarize(sys.argv[1] if len(sys.argv) > 1
+              else "training/run_data/round1_campaign")
