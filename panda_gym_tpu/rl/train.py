@@ -192,6 +192,7 @@ class Trainer:
         self.ts = None
         self.buffer = None
         self.timesteps = 0
+        self._best_eval_success = -1.0
 
     # -------------------------------------------------------------- stages
     def learn(self, seed: Optional[int] = None):
@@ -251,6 +252,7 @@ class Trainer:
         cfg = self.config
         core = self.make_env(scenario, ee_thr, sp_thr)
         venv = VectorEnv(core, cfg.n_envs, horizon, mesh=self.mesh)
+        self._best_eval_success = -1.0  # per-stage, like the per-stage EvalCallback
         key, k_init = jax.random.split(key)
         self._ensure_learner(venv, k_init)
         learner = self.learner
@@ -363,6 +365,14 @@ class Trainer:
                                       timesteps=self.timesteps))
                 if self.logger is not None:
                     self.logger.log(dict(eval_success=sr, timesteps=self.timesteps))
+                # best_model.ckpt on the stage's own scenario — the artifact
+                # the reference's EvalCallback keeps as best_model.zip
+                # (setup_training.py:277-279, load_model_utils.py:14-50);
+                # guards against late-training policy collapse.
+                run_dir = getattr(self.logger, "dir", None)
+                if run_dir and sr > self._best_eval_success:
+                    self._best_eval_success = sr
+                    self.save(os.path.join(run_dir, "best_model.ckpt"))
                 for scene, bvenv in bench_venvs.items():
                     key, k_b = jax.random.split(key)
                     bsr = self.evaluate(bvenv, k_b,

@@ -131,6 +131,13 @@ def main():
         from panda_gym_tpu.eval.benchmark import (
             BENCHMARK_SCENARIOS, display_and_save_benchmark_results,
             evaluate_scenarios)
+        # Benchmark the best eval snapshot when one exists — the reference
+        # benchmarks best_model.zip (load_model_utils.py:14-50), not the
+        # final (possibly collapsed) policy.
+        best = os.path.join(logger.dir, "best_model.ckpt")
+        if os.path.exists(best):
+            trainer.load(best, restore_buffer=False)
+            print(f"benchmarking best eval snapshot {best}")
         results = evaluate_scenarios(
             trainer.learner, [trainer.ts],
             make_core=lambda sc: make_env(sc, 0.05, 0.5),
