@@ -237,7 +237,20 @@ def _benchmark_scenarios():
 
 
 def get_scenario(name: str) -> ScenarioSpec:
-    """Scenario registry (reach_ao.py:229-266), incl. 'name-N' variants."""
+    """Scenario registry (reach_ao.py:229-266), incl. 'name-N' variants.
+
+    A ``<scene>_rs`` suffix yields a random-start training variant of any
+    registered scene: the start pose is IK'd to a point sampled from the
+    scene's own goal distribution (the trick the reference hand-writes per
+    scene as robot_pose_randomizer, reach_ao.py:310-317,364-372,395-400).
+    Used as stage 1 of a two-stage fine-tune curriculum on scenes whose
+    fixed start pose otherwise never explores past the obstacles; the
+    canonical scene (fixed start) remains the benchmark environment.
+    """
+    if name.endswith("_rs"):
+        spec = get_scenario(name[:-3])
+        return replace(spec, randomize_robot_pose=True,
+                       pose_randomizer=("ik_goal",))
     parts = name.split("-")
     base = parts[0]
     n = int(parts[1]) if len(parts) > 1 else 3

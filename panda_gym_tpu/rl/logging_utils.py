@@ -85,7 +85,10 @@ def load_run(run_dir: str):
     (load_model_utils.py:26-50: best_model.zip + config.yaml -> TrainConfig;
     here: model_*.ckpt / final.ckpt + config.json).
 
-    Returns (config, checkpoint_paths) with the final checkpoint last.
+    Returns (config, checkpoint_paths) with the preferred evaluation
+    checkpoint last: best_model.ckpt if present (what the reference's
+    loader resolves), else final.ckpt.  Per-scene best_model_<scene>.ckpt
+    eval artifacts are excluded from the stage-checkpoint list.
     """
     from panda_gym_tpu.rl.config import TrainConfig
 
@@ -99,8 +102,12 @@ def load_run(run_dir: str):
                 setattr(cfg, k, v)
     ckpts = sorted(
         os.path.join(run_dir, f) for f in os.listdir(run_dir)
-        if f.endswith(".ckpt") and f != "final.ckpt")
+        if f.endswith(".ckpt") and f != "final.ckpt"
+        and not f.startswith("best_model"))
     final = os.path.join(run_dir, "final.ckpt")
     if os.path.exists(final):
         ckpts.append(final)
+    best = os.path.join(run_dir, "best_model.ckpt")
+    if os.path.exists(best):
+        ckpts.append(best)
     return cfg, ckpts

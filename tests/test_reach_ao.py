@@ -187,3 +187,24 @@ def test_scenario_global_scaling_applied():
     xs = sorted(b[0] for b in boxes)
     assert abs(xs[0] - 0.455) < 1e-6, xs
     assert abs(boxes[0][3] - 0.21) < 1e-6 or abs(boxes[0][3] - 0.105) < 1e-6
+
+
+def test_random_start_variant_spec():
+    """`<scene>_rs` yields a random-start training variant of any scene:
+    same geometry/goal space, start pose IK'd into the scene's goal region
+    (generalizes the reference's per-scene robot_pose_randomizer,
+    reach_ao.py:310-317,395-400)."""
+    from dataclasses import asdict
+
+    from panda_gym_tpu.envs.tasks.reach_ao import get_scenario
+
+    for scene in ["tunnel", "library1", "wall"]:
+        base = get_scenario(scene)
+        rs = get_scenario(scene + "_rs")
+        assert rs.randomize_robot_pose
+        assert rs.pose_randomizer == ("ik_goal",)
+        same = {k: v for k, v in asdict(base).items()
+                if k not in ("randomize_robot_pose", "pose_randomizer")}
+        same_rs = {k: v for k, v in asdict(rs).items()
+                   if k not in ("randomize_robot_pose", "pose_randomizer")}
+        assert same == same_rs

@@ -323,3 +323,28 @@ def test_final_stage_benchmark_evals(tmp_path):
     rows = [json.loads(l) for l in open(
         os.path.join(logger.dir, "metrics.jsonl"))]
     assert any("wall_eval_success" in r for r in rows)
+
+
+def test_load_run_prefers_best_model(tmp_path):
+    """load_run returns the evaluation checkpoint last: best_model.ckpt when
+    present (the reference's loader resolves best_model.zip,
+    load_model_utils.py:14-50), else final.ckpt; per-scene best_model_<scene>
+    eval artifacts never appear in the stage list."""
+    import os
+
+    from panda_gym_tpu.rl.logging_utils import load_run
+
+    run = tmp_path / "run"
+    run.mkdir()
+    (run / "config.json").write_text("{}")
+    for f in ["model_reachao1_0.ckpt", "final.ckpt", "best_model_wall.ckpt"]:
+        (run / f).write_bytes(b"x")
+    _, ckpts = load_run(str(run))
+    names = [os.path.basename(p) for p in ckpts]
+    assert names == ["model_reachao1_0.ckpt", "final.ckpt"]
+
+    (run / "best_model.ckpt").write_bytes(b"x")
+    _, ckpts = load_run(str(run))
+    names = [os.path.basename(p) for p in ckpts]
+    assert names[-1] == "best_model.ckpt"
+    assert "best_model_wall.ckpt" not in names

@@ -35,9 +35,10 @@ def summarize(group_dir: str):
     for scene in scenes:
         per_run = {n: r[scene]["success_rate"] for n, r in runs.items()
                    if scene in r}
-        # a fine-tune run only "claims" its own scene; the generalist claims all
+        # a fine-tune run only "claims" its own scene; the generalist claims
+        # all.  Suffix match so tqc_ft_narrow_tunnel doesn't claim "tunnel".
         candidates = {n: s for n, s in per_run.items()
-                      if n == base_name or scene in n}
+                      if n == base_name or n.endswith("_" + scene)}
         best_run = max(candidates, key=candidates.get)
         summary[scene] = {
             "base_success": per_run.get(base_name),
