@@ -382,7 +382,6 @@ class Trainer:
                     self.metrics.log(dict(row, scenario=scenario))
                     if self.logger is not None:
                         self.logger.log(row)
-                    run_dir = getattr(self.logger, "dir", None)
                     if bsr > bench_best[scene] and run_dir:
                         bench_best[scene] = bsr
                         # best_model per scene (setup_training.py:277-279)

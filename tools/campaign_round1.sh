@@ -1,7 +1,7 @@
 #!/bin/bash
 # Round-1 training campaign: generalist curriculum + per-scene fine-tunes.
 # Sequential — one TPU chip. Artifacts under training/run_data/round1_campaign/.
-set -u
+set -u -o pipefail
 cd /root/repo
 GROUP=round1_campaign
 BASE=training/run_data/$GROUP/tqc_base

@@ -5,7 +5,7 @@
 # region, the trick the reference hand-writes for narrow_tunnel/industrial,
 # reach_ao.py:310-317,395-400), stage 2 the canonical scene.  Sparse reward
 # + HER, resumed from the generalist; benchmark uses the canonical scene.
-set -u
+set -u -o pipefail
 cd /root/repo
 GROUP=round1_campaign
 BASE=training/run_data/$GROUP/tqc_base

@@ -15,17 +15,26 @@ import sys
 
 
 def load_benchmarks(group_dir: str):
-    runs = {}
+    runs, trained_scenes = {}, {}
     for name in sorted(os.listdir(group_dir)):
         path = os.path.join(group_dir, name, "benchmark.json")
         if os.path.isfile(path):
             with open(path) as f:
                 runs[name] = json.load(f)
-    return runs
+            # the scene a fine-tune "claims" = its final training stage
+            # (strip the _rs random-start suffix of curriculum stage 1)
+            cfg_path = os.path.join(group_dir, name, "config.json")
+            stages = []
+            if os.path.isfile(cfg_path):
+                with open(cfg_path) as f:
+                    stages = json.load(f).get("stages", [])
+            trained_scenes[name] = {s[:-3] if s.endswith("_rs") else s
+                                    for s in stages}
+    return runs, trained_scenes
 
 
 def summarize(group_dir: str):
-    runs = load_benchmarks(group_dir)
+    runs, trained_scenes = load_benchmarks(group_dir)
     if not runs:
         raise SystemExit(f"no benchmark.json under {group_dir}")
     base_name = next((n for n in runs if "base" in n), next(iter(runs)))
@@ -35,10 +44,11 @@ def summarize(group_dir: str):
     for scene in scenes:
         per_run = {n: r[scene]["success_rate"] for n, r in runs.items()
                    if scene in r}
-        # a fine-tune run only "claims" its own scene; the generalist claims
-        # all.  Suffix match so tqc_ft_narrow_tunnel doesn't claim "tunnel".
+        # a fine-tune run only "claims" the scene(s) it trained on (from its
+        # config.json stages — name matching is ambiguous: narrow_tunnel
+        # contains/ends-with tunnel); the generalist claims all
         candidates = {n: s for n, s in per_run.items()
-                      if n == base_name or n.endswith("_" + scene)}
+                      if n == base_name or scene in trained_scenes.get(n, ())}
         best_run = max(candidates, key=candidates.get)
         summary[scene] = {
             "base_success": per_run.get(base_name),

@@ -98,7 +98,7 @@ def main():
         algorithm=args.algorithm, n_envs=args.n_envs,
         stages=list(args.stages), success_thresholds=list(succ),
         ee_error_thresholds=[0.05] * n_stages,
-        speed_thresholds=[0.5, 0.1, 0.01][:n_stages] or [0.5],
+        speed_thresholds=([0.5, 0.1, 0.01] + [0.01] * n_stages)[:n_stages],
         max_ep_steps=list(args.max_ep_steps),
         max_timesteps=args.max_timesteps,
         learning_starts=args.learning_starts,
