@@ -58,8 +58,10 @@ def perform_benchmark(
 
     def prior_action(state, fk):
         from panda_gym_tpu.ops.neo import compute_action_neo
-        qd = compute_action_neo(model, ee_site, state, fk, state.goal)
-        return jnp.clip(qd / 2.0, -1.0, 1.0)  # scale to action space
+        # raw NEO joint velocities, like evaluate.py:160/192 — the env's own
+        # action limiter normalizes them direction-preservingly
+        # (panda.py:129-133); per-joint clipping here would distort direction
+        return compute_action_neo(model, ee_site, state, fk, state.goal)
 
     def policy(states, obs, key):
         x = flat_x(obs)
@@ -121,7 +123,12 @@ def perform_benchmark(
 
     @jax.jit
     def run(key):
-        keys = jax.random.split(key, n_episodes)
+        # independent fold for resets: split(key, 2)[:2] equals the first
+        # entries of split(key, n), so carrying `key` into the action scan
+        # while also using split(key, n) for resets would replay reset keys
+        # as action-noise keys
+        reset_key = jax.random.fold_in(key, 1)
+        keys = jax.random.split(reset_key, n_episodes)
         states, obs = jax.vmap(core.reset)(keys)
         done0 = jnp.zeros(n_episodes, bool)
         len0 = jnp.zeros(n_episodes, jnp.int32)

@@ -28,7 +28,8 @@ def interact(scenario: str = "wangexp_3", n_steps: int = 60,
 
     core = make_reach_ao_core(scenario)
     key = jax.random.PRNGKey(seed)
-    state, obs = jax.jit(core.reset)(key)
+    key, k_reset = jax.random.split(key)
+    state, obs = jax.jit(core.reset)(k_reset)
     step = jax.jit(core.step)
     rows = []
 

@@ -325,9 +325,10 @@ def make_batched_collision_physics(
             new_collided = collided | collided_step
 
             if freeze_on_collision:
-                # engine.substep freeze semantics: once collided, q/qd/
-                # obstacles stop evolving; flags + link distances keep the
-                # freshly computed values.
+                # engine.substep freeze semantics (reach_ao.py:182-188 early
+                # break): once collided, q/qd/obstacles stop evolving and
+                # link distances keep the colliding-substep values rather
+                # than ones from a phantom advanced pose.
                 frz = collided
                 q_out = tuple(jnp.where(frz, qc[d], q_new[d])
                               for d in range(ndof))
@@ -336,11 +337,14 @@ def make_batched_collision_physics(
                 opos_out = [tuple(jnp.where(frz, opos[j][k], opos_new[j][k])
                                   for k in range(3))
                             for j in range(n_obstacles)]
+                link_d_out = tuple(jnp.where(frz, link_d[g], gd[g])
+                                   for g in range(ngroup))
             else:
                 q_out, qd_out = tuple(q_new), tuple(qd_new)
                 opos_out = opos_new
+                link_d_out = tuple(gd)
             return (q_out, qd_out, tuple(opos_out), new_collided,
-                    tuple(gd)), None
+                    link_d_out), None
 
         carry0 = (
             tuple(states.q[:, d] for d in range(ndof)),

@@ -23,7 +23,7 @@ import numpy as np
 from panda_gym_tpu.models.chain import ChainModel
 from panda_gym_tpu.ops import scalarized as S
 from panda_gym_tpu.ops.scalarized_collision import (
-    _point_box_closest, closest_on_segment,
+    _inside_normal, _point_box_closest, closest_on_segment,
 )
 from panda_gym_tpu.sim.state import SHAPE_BOX, SHAPE_SPHERE
 
@@ -117,14 +117,7 @@ def capsule_box_closest_oriented(p0, p1, rc, center, Rb, half):
     d = jnp.sqrt(jnp.maximum(S.vdot(delta, delta), 0.0))
     safe = jnp.maximum(d, EPS)
     outside = sd > 0
-    # inside normal (contact.py:_inside_normal)
-    gap = tuple(S.sub(half[i], jnp.abs(x[i])) for i in range(3))
-    kx = (gap[0] <= gap[1]) & (gap[0] <= gap[2])
-    ky = (~kx) & (gap[1] <= gap[2])
-    kz = (~kx) & (~ky)
-    sign = tuple(jnp.where(jnp.sign(x[i]) == 0, 1.0, jnp.sign(x[i]))
-                 for i in range(3))
-    n_in = tuple(jnp.where(k, sgn, 0.0) for k, sgn in zip((kx, ky, kz), sign))
+    n_in = _inside_normal(x, half)
     n_loc = tuple(jnp.where(outside, -delta[i] / safe, n_in[i])
                   for i in range(3))
     dist = S.sub(sd, rc)
@@ -230,13 +223,10 @@ def make_batched_contact_physics(
             pc = S.vadd(cp, tuple(S.mul(RC, n_cs[i]) for i in range(3)))
             pb = S.vsub(pos, tuple(S.mul(size[0], n_cs[i]) for i in range(3)))
             p_contact = tuple(S.mul(0.5, S.add(pc[i], pb[i])) for i in range(3))
-            # engine._robot_body_contact normalizes pb - pc (NOT the
-            # center-to-segment direction) — replicate exactly, including its
-            # sign flip under penetration
-            pbc = S.vsub(pb, pc)
-            nrm = jnp.maximum(jnp.sqrt(jnp.maximum(S.vdot(pbc, pbc), 0.0)),
-                              1e-9)
-            n_hat = tuple(pbc[i] / nrm for i in range(3))
+            # normal = capsule-axis -> sphere-center direction (matches
+            # engine._robot_body_contact; the earlier pb - pc normalization
+            # flipped sign under penetration)
+            n_hat = n_cs
         else:
             half = size if shape == SHAPE_BOX else (size[0], size[0], size[1])
             dist, pc, pb, n_w = capsule_box_closest_oriented(
@@ -321,14 +311,7 @@ def make_batched_contact_physics(
             delta = S.vsub(x, cb)
             d_abs = jnp.maximum(jnp.abs(sd), EPS)
             out_n = tuple(delta[i] / d_abs for i in range(3))
-            gap = tuple(S.sub(size_b[i], jnp.abs(x[i])) for i in range(3))
-            kx = (gap[0] <= gap[1]) & (gap[0] <= gap[2])
-            ky = (~kx) & (gap[1] <= gap[2])
-            kz = (~kx) & (~ky)
-            sign = tuple(jnp.where(jnp.sign(x[i]) == 0, 1.0, jnp.sign(x[i]))
-                         for i in range(3))
-            n_in = tuple(jnp.where(k, sgn, 0.0)
-                         for k, sgn in zip((kx, ky, kz), sign))
+            n_in = _inside_normal(x, size_b)
             n_loc = tuple(jnp.where(sd > 0, out_n[i], n_in[i])
                           for i in range(3))
             n_ba = S.mv(R_b, n_loc)

@@ -82,7 +82,10 @@ def _robot_body_contact(model, fk, cap_p0, cap_p1, scene, b, pos, R, vel, ang):
     # capsule vs sphere and capsule vs box; cylinders are approximated by
     # their bounding box for robot contact (puck-pushing in Slide).
     d_s, pc_s, pb_s = C.capsule_sphere_distance(cap_p0, cap_p1, rc, pos, size[0])
-    n_s = (pb_s - pc_s)
+    # normal = capsule-axis -> sphere-center direction; (pb_s - pc_s) equals
+    # n*dist so normalizing it flips the normal exactly when dist < 0 (the
+    # only case with nonzero penalty force), turning repulsion into suction
+    n_s = pos - C.closest_on_segment(cap_p0, cap_p1, pos)
     n_s = n_s / jnp.maximum(jnp.linalg.norm(n_s, axis=-1, keepdims=True), 1e-9)
     half_box = jnp.where(shape == SHAPE_BOX, size,
                          jnp.array([size[0], size[0], size[1]]))
@@ -142,9 +145,7 @@ def _body_body_forces(scene, a, b, pos_a, R_a, vel_a, ang_a, pos_b, R_b, vel_b, 
     d_sph = dn - size_b[0] - rad
     is_sphere = shape_b == SHAPE_SPHERE
     dist = jnp.where(is_sphere, d_sph, d_box)
-    n_hat = jnp.where(is_sphere, -n_sph, -n_box)  # from a-sample INTO b... see below
-    # normal from b's surface toward a's point is n_box; force on A acts along
-    # +n (away from b). We compute force_on_a with normal pointing from b to a.
+    # normal from b's surface toward a's point; force on A acts along +n_ba
     n_ba = jnp.where(is_sphere, n_sph, n_box)
     depth = -dist
     v_pt_a = vel_a + jnp.cross(ang_a, p_w - pos_a)
@@ -374,11 +375,12 @@ def make_physics_step(
             )
             if freeze_on_collision:
                 # reproduce step_check_collision's early break
-                # (reach_ao.py:182-188): once collided, later substeps no-op.
+                # (reach_ao.py:182-188): once collided, later substeps no-op —
+                # including link_obstacle_dist, which keeps the values from
+                # the colliding substep (not a phantom advanced pose)
                 new_state = jax.tree_util.tree_map(
                     lambda old, new: jnp.where(state.is_collided, old, new),
-                    state.replace(is_collided=new_state.is_collided,
-                                  link_obstacle_dist=new_state.link_obstacle_dist),
+                    state.replace(is_collided=new_state.is_collided),
                     new_state,
                 )
         return new_state

@@ -253,6 +253,10 @@ class Simulation:
             ctrl_mode=self._ctrl_mode,
             robot_contact=len(dyn) > 0,
             check_collision=len(obs) > 0,
+            # obstacles advance by their base velocity (resetBaseVelocity on
+            # the reference's kinematic obstacles, reach_ao.py:1091-1099);
+            # zero velocity keeps them static, so static scenes are unchanged
+            moving_obstacles=len(obs) > 0,
             # stepping never halts in the reference facade; is_collided is a
             # sticky query flag here, cleared with reset_collision_flag()
             freeze_on_collision=False,
@@ -281,7 +285,9 @@ class Simulation:
             obstacle_pos=jnp.asarray(
                 np.stack([r["position"] for _, r in obs])
                 if obs else np.zeros((0, 3)), jnp.float32),
-            obstacle_vel=jnp.zeros((no, 3)),
+            obstacle_vel=jnp.asarray(
+                np.stack([r.get("velocity", np.zeros(3)) for _, r in obs])
+                if obs else np.zeros((0, 3)), jnp.float32),
             obstacle_size=jnp.asarray(
                 np.stack([np.array([r["size"][0], r["size"][0],
                                     r["size"][1]])
@@ -356,9 +362,11 @@ class Simulation:
         kind, i = self._body_index(body_name)
         if kind == "body":
             return np.asarray(self._ensure_state().body_quat[i])
-        if kind == "ghost":
-            return np.asarray(self._bodies_idx[body_name]["quat"])
-        return np.array([0.0, 0.0, 0.0, 1.0])
+        # obstacles are physically axis-aligned (their collision volume has
+        # no orientation state), but the getter reports what was set, like
+        # getBasePositionAndOrientation does for a fixed body
+        rec = self._bodies_idx.get(body_name, {})
+        return np.asarray(rec.get("quat", np.array([0.0, 0.0, 0.0, 1.0])))
 
     def get_base_rotation(self, body_name: str, type: str = "euler"):
         """pybullet.py:206-221."""
@@ -435,8 +443,14 @@ class Simulation:
         matching :368-381 usage)."""
         rec = self._bodies_idx[body_name]
         rec["position"] = np.asarray(position, float)
-        if len(np.asarray(orientation)) == 4:
-            rec["quat"] = np.asarray(orientation, float)
+        orientation = np.asarray(orientation, float)
+        if len(orientation) == 3:
+            # euler -> quaternion like getQuaternionFromEuler (pybullet.py:362)
+            from panda_gym_tpu.math import transforms as T
+            orientation = np.asarray(
+                T.quat_from_euler(jnp.asarray(orientation, jnp.float32)),
+                float)
+        rec["quat"] = orientation
         self._sync_record_to_state(body_name)
 
     def set_base_velocity(self, body_name: str, velocity) -> None:
@@ -475,7 +489,9 @@ class Simulation:
                 body_ang=s.body_ang.at[i].set(rec["ang"]))
         elif kind == "obstacle":
             self._state = s.replace(
-                obstacle_pos=s.obstacle_pos.at[i].set(rec["position"]))
+                obstacle_pos=s.obstacle_pos.at[i].set(rec["position"]),
+                obstacle_vel=s.obstacle_vel.at[i].set(
+                    rec.get("velocity", np.zeros(3))))
 
     def set_joint_angle(self, body_name: str, joint: int, angle: float) -> None:
         """pybullet.py:400-414 resetJointState."""
