@@ -283,3 +283,30 @@ def test_pallas_kernel_matches_scalarized(model):
     q2, qd2 = f_p(q, qd, tgt)
     np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=2e-5)
     np.testing.assert_allclose(np.asarray(qd1), np.asarray(qd2), atol=2e-3)
+
+
+def test_robot_sphere_contact_repels(model):
+    """A sphere body penetrating a robot capsule receives a force pushing it
+    AWAY from the capsule axis (regression: normalize(pb-pc) equals
+    n*sign(dist), which inverted the normal exactly under penetration)."""
+    from panda_gym_tpu.sim import engine
+    from panda_gym_tpu.sim.state import build_scene
+
+    scene = build_scene([dict(shape=1, size=(0.06, 0.06, 0.06), mass=1.0,
+                              mu=0.5)],
+                        table_length=1.1, table_width=0.7, table_height=0.4)
+    q = jnp.zeros(model.ndof).at[:7].set(jnp.asarray(NEUTRAL_ARM))
+    fk = K.fk_world(model, q, jnp.zeros(model.ndof))
+    p0, p1 = K.capsule_endpoints_world(model, fk)
+    # place the sphere just inside capsule 0's surface, offset along +x
+    seg_mid = 0.5 * (p0[0] + p1[0])
+    r_sphere = 0.06
+    pen = 0.01
+    pos = seg_mid + jnp.array([float(model.cap_radius[0]) + r_sphere - pen,
+                               0.0, 0.0])
+    force, _, tau = engine._robot_body_contact(
+        model, fk, p0, p1, scene, 0, pos, jnp.eye(3), jnp.zeros(3),
+        jnp.zeros(3))
+    force = np.asarray(force)
+    assert force[0] > 0.0, f"sphere must be pushed away (+x), got {force}"
+    assert np.isfinite(np.asarray(tau)).all()

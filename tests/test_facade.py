@@ -279,3 +279,29 @@ def test_dummy_pose_velocity_and_debug_surface(sim):
     sim.create_debug_text("hud2", "y")
     sim.remove_all_debug_text()
     assert sim._debug_texts == {}
+
+
+def test_obstacle_base_velocity_moves_it(sim):
+    """resetBaseVelocity on a kinematic obstacle makes it drift by v*dt per
+    policy step (reach_ao.py:1091-1099 moving obstacles); the getter reads
+    back the set velocity."""
+    sim.create_sphere("mover", radius=0.05, mass=0.0,
+                      position=(0.4, 0.0, 0.4))
+    sim.set_base_velocity("mover", np.array([0.1, 0.0, 0.0]))
+    assert np.allclose(sim.get_base_velocity("mover"), [0.1, 0.0, 0.0])
+    p0 = np.asarray(sim.get_base_position("mover"))
+    sim.step()
+    dx = np.asarray(sim.get_base_position("mover")) - p0
+    assert dx[0] == pytest.approx(sim.dt * 0.1, rel=1e-4)
+    assert np.allclose(dx[1:], 0.0, atol=1e-7)
+
+
+def test_set_base_pose_euler_orientation(sim):
+    """set_base_pose accepts 3-element euler like the reference
+    (pybullet.py:362-363 getQuaternionFromEuler)."""
+    sim.create_sphere("ball", radius=0.03, mass=0.0,
+                      position=(0.3, 0.0, 0.3))
+    sim.set_base_pose("ball", np.array([0.3, 0.0, 0.3]),
+                      np.array([0.0, 0.0, np.pi / 2]))
+    q = sim.get_base_orientation("ball")
+    assert np.allclose(q, [0.0, 0.0, np.sqrt(0.5), np.sqrt(0.5)], atol=1e-6)
