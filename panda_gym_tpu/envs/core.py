@@ -170,12 +170,14 @@ class RobotTaskEnv:
         state = self.task.reset(self, state, k_task)
         fk = K.fk_world(self.model, state.q, state.qd)
         state = self.task.pre_obs(self, state, fk)
-        obs = self._get_obs(state)
+        obs = self._get_obs(state, fk)
         return state, obs
 
-    def _get_obs(self, state: EnvState) -> Dict[str, jnp.ndarray]:
-        """Dict observation assembly (core.py:286-296)."""
-        fk = K.fk_world(self.model, state.q, state.qd)
+    def _get_obs(self, state: EnvState, fk=None) -> Dict[str, jnp.ndarray]:
+        """Dict observation assembly (core.py:286-296).  Callers thread the
+        FK they already computed; recomputed only if absent."""
+        if fk is None:
+            fk = K.fk_world(self.model, state.q, state.qd)
         robot_obs = self.robot.robot_obs(state, fk)
         task_obs = self.task.task_obs(self, state, fk)
         achieved = self.task.achieved_goal(self, state, fk)
@@ -199,7 +201,7 @@ class RobotTaskEnv:
 
         fk = K.fk_world(self.model, state.q, state.qd)
         state = self.task.pre_obs(self, state, fk)
-        obs = self._get_obs(state)
+        obs = self._get_obs(state, fk)
         achieved = obs["achieved_goal"]
         desired = obs["desired_goal"]
         success, state = self._success(achieved, desired, state)
@@ -257,7 +259,6 @@ class GymAdapter(_gym.Env):
     metadata = {"render_modes": ["rgb_array"]}
 
     def __init__(self, env: RobotTaskEnv):
-        import gymnasium as gym
         from gymnasium import spaces
 
         self.env = env
@@ -312,7 +313,14 @@ class GymAdapter(_gym.Env):
         )
 
     def compute_reward(self, achieved_goal, desired_goal, info) -> np.ndarray:
-        """Vectorized HER relabeling hook (core.py:282 contract)."""
+        """Vectorized HER relabeling hook (core.py:282 contract).
+
+        State-dependent reward terms (ReachAO's collision/effort/jerk
+        penalties) are taken from the adapter's *current* state — the same
+        quirk as the reference, whose compute_reward also reads live `self`
+        state for those terms.  The in-repo trainer instead stores
+        per-transition aux via Task.reward_aux/reward_from_aux and relabels
+        exactly (rl/her.py); prefer that path for off-policy training."""
         a = jnp.asarray(achieved_goal)
         d = jnp.asarray(desired_goal)
         fk = None
@@ -400,12 +408,27 @@ class BoundRobot:
     def get_manipulability(self):
         return float(np.asarray(self._robot.manipulability(self._adapter.state.q)))
 
-    # core.py:150-171 joint getters (arm joints indexed as in the chain)
+    # core.py:150-171 joint getters.  Accepts the reference's PyBullet joint
+    # numbering, where the fingers are joints 9/10 (panda.py:62
+    # joint_indices=[0..6, 9, 10]); the chain stores them at dof 7/8.
+    def _dof_index(self, joint: int) -> int:
+        ndof = len(np.asarray(self._adapter.state.q))
+        if joint in (9, 10):
+            # welded-finger variant (ndof=7): fingers are fixed at 0
+            return joint - 2 if ndof > 7 else -1
+        return joint
+
     def get_joint_angle(self, joint: int) -> float:
-        return float(np.asarray(self._adapter.state.q[joint]))
+        i = self._dof_index(joint)
+        if i < 0:
+            return 0.0
+        return float(np.asarray(self._adapter.state.q[i]))
 
     def get_joint_velocity(self, joint: int) -> float:
-        return float(np.asarray(self._adapter.state.qd[joint]))
+        i = self._dof_index(joint)
+        if i < 0:
+            return 0.0
+        return float(np.asarray(self._adapter.state.qd[i]))
 
     # core.py:195-209 IK passthrough (DLS IK, replaces calculateInverseKinematics)
     def inverse_kinematics(self, link: int, position, orientation=None):

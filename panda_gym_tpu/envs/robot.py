@@ -56,12 +56,18 @@ class PandaRobot:
         self.ee_site = EE_SITE
         # action dim: 3 (ee) or n_arm (joints) + 1 finger channel if not
         # blocked (panda.py:47-48)
+        self._init_common(np.asarray(config.neutral, dtype=np.float32))
+
+    def _init_common(self, neutral_arm):
+        """Shared tail of robot construction: action dim (panda.py:47-48),
+        control-mode dispatch, neutral pose padded to ndof."""
+        config = self.config
         n = 3 if config.control_type == "ee" else self.n_arm
         self.action_dim = n + (0 if config.block_gripper else 1)
         self.ctrl_mode = (D.CTRL_VELOCITY if config.control_type == "jsd"
                           else D.CTRL_POSITION)
         self.neutral = np.zeros(self.ndof, dtype=np.float32)
-        self.neutral[:7] = np.asarray(config.neutral, dtype=np.float32)
+        self.neutral[:self.n_arm] = neutral_arm
 
     # ------------------------------------------------------------------ obs
     def ee_position(self, fk):
@@ -227,13 +233,7 @@ class MyCobotRobot(PandaRobot):
         self.ndof = self.model.ndof
         self.n_arm = 6
         self.ee_site = MC_EE
-        n = 3 if config.control_type == "ee" else self.n_arm
-        self.action_dim = n + (0 if config.block_gripper else 1)
-        from panda_gym_tpu.ops import dynamics as D
-        self.ctrl_mode = (D.CTRL_VELOCITY if config.control_type == "jsd"
-                          else D.CTRL_POSITION)
-        self.neutral = np.zeros(self.ndof, dtype=np.float32)
-        self.neutral[:6] = MC_NEUTRAL
+        self._init_common(np.asarray(MC_NEUTRAL, dtype=np.float32))
 
     def fingers_width(self, state):
         return jnp.asarray(0.0)

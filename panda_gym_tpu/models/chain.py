@@ -130,7 +130,6 @@ def build_chain(
     parent, jtype, X_R, X_p, axis = [], [], [], [], []
     q_lo, q_hi, effort, vel_lim = [], [], [], []
     dof_links: List[List[str]] = []  # links welded to each dof body
-    link_order: List[str] = [root_link]
 
     for (name, jt, plink, clink, xyz, rpy, ax, lo, hi, eff, vel) in joints:
         jt = actuated_overrides.get(name, jt)
@@ -156,7 +155,6 @@ def build_chain(
             vel_lim.append(vel)
             dof_links.append([clink])
             weld[clink] = (d, np.eye(3), np.zeros(3))
-        link_order.append(clink)
 
     ndof = len(parent)
 

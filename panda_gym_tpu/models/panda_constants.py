@@ -94,22 +94,17 @@ LINK_NAMES = LINK_ORDER  # what the reference stores as robot.link_names (core.p
 # ---------------------------------------------------------------------------
 # Collision primitives per link, as capsules: (link_name, p0, p1, radius).
 # Each URDF collision block is a cylinder flanked by two spheres of the same
-# radius at its ends — i.e. the author's capsule decomposition — so we encode
-# the union directly as one capsule per cylinder (sphere = degenerate capsule).
-# A cylinder at origin o with rpy r and length L has axis z rotated by r:
-# endpoints o ± R(r) @ (0,0,L/2).  Citations: panda.urdf collision blocks.
+# radius centered exactly at the cylinder end planes — i.e. the author's
+# capsule decomposition — so the exact union is one capsule whose segment is
+# the bare cylinder axis (sphere = degenerate capsule): endpoints
+# o ± R(rpy) @ (0,0,L/2) with the URDF cylinder length L, radius r.
+# Citations: panda.urdf collision blocks.
 # ---------------------------------------------------------------------------
 
 
 def _cyl(o, rpy, length, radius):
-    cr, sr = np.cos(rpy[0]), np.sin(rpy[0])
-    cp, sp = np.cos(rpy[1]), np.sin(rpy[1])
-    cy, sy = np.cos(rpy[2]), np.sin(rpy[2])
-    Rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
-    Ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
-    Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
-    R = Rz @ Ry @ Rx
-    h = R @ np.array([0.0, 0.0, length / 2.0])
+    from panda_gym_tpu.models.chain import _rpy_to_mat
+    h = _rpy_to_mat(rpy) @ np.array([0.0, 0.0, length / 2.0])
     o = np.asarray(o, dtype=np.float64)
     return (tuple(o - h), tuple(o + h), radius)
 
@@ -123,18 +118,18 @@ COLLISION_CAPSULES = {
     "panda_link0": [_cyl((-0.075, 0, 0.06), (0, HALF_PI, 0), 0.03, 0.06),
                     _sph((-0.06, 0, 0.06), 0.06), _sph((-0.09, 0, 0.06), 0.06)],
     # :52-69 — cylinder + end spheres == capsule
-    "panda_link1": [_cyl((0, 0, -0.1915), (0, 0, 0), 0.283 + 0.12, 0.06)],
+    "panda_link1": [_cyl((0, 0, -0.1915), (0, 0, 0), 0.283, 0.06)],
     # :91-108
-    "panda_link2": [_cyl((0, 0, 0.0), (0, 0, 0), 0.12 + 0.12, 0.06)],
+    "panda_link2": [_cyl((0, 0, 0.0), (0, 0, 0), 0.12, 0.06)],
     # :132-149
-    "panda_link3": [_cyl((0, 0, -0.145), (0, 0, 0), 0.15 + 0.12, 0.06)],
+    "panda_link3": [_cyl((0, 0, -0.145), (0, 0, 0), 0.15, 0.06)],
     # :171-188
-    "panda_link4": [_cyl((0, 0, 0.0), (0, 0, 0), 0.12 + 0.12, 0.06)],
+    "panda_link4": [_cyl((0, 0, 0.0), (0, 0, 0), 0.12, 0.06)],
     # :210-245 — main barrel capsule + thin offset capsule
-    "panda_link5": [_cyl((0, 0, -0.26), (0, 0, 0), 0.1 + 0.12, 0.06),
-                    _cyl((0, 0.08, -0.13), (0, 0, 0), 0.14 + 0.05, 0.025)],
+    "panda_link5": [_cyl((0, 0, -0.26), (0, 0, 0), 0.1, 0.06),
+                    _cyl((0, 0.08, -0.13), (0, 0, 0), 0.14, 0.025)],
     # :267-284
-    "panda_link6": [_cyl((0, 0, -0.03), (0, 0, 0), 0.08 + 0.10, 0.05)],
+    "panda_link6": [_cyl((0, 0, -0.03), (0, 0, 0), 0.08, 0.05)],
     # :306-323 (end spheres have differing radii; keep them separate)
     "panda_link7": [_cyl((0, 0, 0.01), (0, 0, 0), 0.14, 0.04),
                     _sph((0, 0, 0.08), 0.025), _sph((0, 0, -0.06), 0.04)],
@@ -142,9 +137,9 @@ COLLISION_CAPSULES = {
     "panda_link8": [_cyl((0.0424, 0.0424, -0.025), (PI, HALF_PI, HALF_PI), 0.01, 0.03),
                     _sph((0.0424, 0.0424, -0.02), 0.03), _sph((0.0424, 0.0424, -0.03), 0.03)],
     # :386-403 — cylinder axis along y after rpy (0, pi/2, pi/2)
-    "panda_hand": [_cyl((0, 0, 0.04), (0, HALF_PI, HALF_PI), 0.1 + 0.08, 0.04)],
+    "panda_hand": [_cyl((0, 0, 0.04), (0, HALF_PI, HALF_PI), 0.1, 0.04)],
     # :421-438
-    "panda_ee": [_cyl((0, 0, 0.1), (0, HALF_PI, HALF_PI), 0.1 + 0.04, 0.02)],
+    "panda_ee": [_cyl((0, 0, 0.1), (0, HALF_PI, HALF_PI), 0.1, 0.02)],
     "panda_leftfinger": [],
     "panda_rightfinger": [],
     "panda_grasptarget": [],

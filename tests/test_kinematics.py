@@ -133,3 +133,32 @@ def test_vmap_fk(model):
     out = ee_batch(qs)
     assert out.shape == (16, 3)
     assert np.allclose(np.asarray(out[0]), np.asarray(out[15]))
+
+
+def test_collision_capsules_match_urdf_union():
+    """The URDF's collision blocks are cylinder + end spheres centered at the
+    cylinder end planes; the exact union is a capsule whose segment is the
+    bare cylinder axis (regression: lengths were extended by 2r, reaching
+    one radius past the true surface at each end).  panda.urdf:52-69 etc."""
+    import numpy as np
+
+    from panda_gym_tpu.models.panda_constants import COLLISION_CAPSULES
+
+    def seg(link, i=0):
+        p0, p1, r = COLLISION_CAPSULES[link][i]
+        return np.asarray(p0), np.asarray(p1), r
+
+    p0, p1, r = seg("panda_link1")
+    np.testing.assert_allclose(sorted([p0[2], p1[2]]), [-0.333, -0.05],
+                               atol=1e-9)
+    assert r == 0.06
+    p0, p1, r = seg("panda_link2")
+    np.testing.assert_allclose(sorted([p0[2], p1[2]]), [-0.06, 0.06],
+                               atol=1e-9)
+    p0, p1, r = seg("panda_link5", 1)          # thin offset capsule
+    np.testing.assert_allclose(sorted([p0[2], p1[2]]), [-0.20, -0.06],
+                               atol=1e-9)
+    assert r == 0.025
+    p0, p1, r = seg("panda_hand")              # axis along y after rpy
+    np.testing.assert_allclose(sorted([p0[1], p1[1]]), [-0.05, 0.05],
+                               atol=1e-9)
