@@ -49,14 +49,22 @@ def bench_env_steps(batch: int = 4096, segment: int = 25, iters: int = 10,
             body, (states, key), None, length=segment)
         return states, key, rewards
 
+    def sync(x):
+        # jax.block_until_ready is a no-op on the axon tunnel backend
+        # (returns before the computation finishes; observed 400x
+        # over-report), so synchronize the honest way: a scalar
+        # device-to-host fetch, which cannot complete before every chained
+        # dispatch has executed.
+        return float(jax.device_get(jnp.sum(x)))
+
     key = jax.random.PRNGKey(1)
     states, key, rewards = rollout_segment(states, key)  # warmup / compile
-    jax.block_until_ready(rewards)
+    sync(rewards)
 
     t0 = time.perf_counter()
     for _ in range(iters):
         states, key, rewards = rollout_segment(states, key)
-    jax.block_until_ready(rewards)
+    sync(rewards)
     dt = time.perf_counter() - t0
     return batch * segment * iters / dt
 
