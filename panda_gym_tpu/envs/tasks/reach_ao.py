@@ -174,6 +174,21 @@ def _wall():
         cuboid_positions=((0.0, 0.0, 0.1),))
 
 
+def _wall_h(half_height: float):
+    """Training-only wall variant with a reduced wall height.
+
+    The canonical wall (z half-extent 0.3, top at z=0.4) defeats both sparse
+    exploration and the NEO prior (local minimum behind the wall), and the
+    random-start recipe fails for it: IK'd goal-side starts leave the arm
+    wrapped ~5 cm from the wall, so nearly every training episode collides
+    within a few steps.  Instead we curriculum over the OBSTACLE: a low wall
+    is easy to arc over from the canonical fixed start, and the policy
+    adapts its arc upward as the wall is raised (stages wall_h1 -> wall_h2
+    -> wall).  Goal region, start pose, and everything else stay canonical
+    (reach_ao.py:457-468)."""
+    return replace(_wall(), cuboids=((0.2, 0.05, half_height),))
+
+
 def _showcase():
     # :724-767 — three spheres in a shell, purely visual scenario
     return ScenarioSpec(spheres=(0.05, 0.05, 0.05),
@@ -263,6 +278,7 @@ def get_scenario(name: str) -> ScenarioSpec:
         "reachao_rand_start": _reachao_rand_start,
         "reachao_rand_shape": _reachao_rand_shape,
         "wall": _wall, "showcase": _showcase,
+        "wall_h1": lambda: _wall_h(0.1), "wall_h2": lambda: _wall_h(0.2),
     }
     if base in simple:
         return simple[base]()

@@ -208,3 +208,16 @@ def test_random_start_variant_spec():
         same_rs = {k: v for k, v in asdict(rs).items()
                    if k not in ("randomize_robot_pose", "pose_randomizer")}
         assert same == same_rs
+
+
+def test_wall_height_curriculum_variants():
+    """wall_h1/wall_h2 keep everything canonical except the wall's z
+    half-extent (obstacle-height curriculum for the wall scene)."""
+    full = rao.get_scenario("wall")
+    for name, h in [("wall_h1", 0.1), ("wall_h2", 0.2)]:
+        spec = rao.get_scenario(name)
+        assert spec.cuboids == ((0.2, 0.05, h),)
+        assert spec.goal_low == full.goal_low
+        assert spec.goal_high == full.goal_high
+        assert spec.neutral_joints == full.neutral_joints
+        assert spec.cuboid_positions == full.cuboid_positions
