@@ -7,6 +7,20 @@ import time
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
+
+
+def sync(x) -> float:
+    """Synchronize on a computation the way that cannot lie.
+
+    jax.block_until_ready is a no-op on some remote-device backends (the
+    axon TPU tunnel returns before chained dispatches finish; observed
+    ~400x throughput over-report in bench.py).  A scalar device-to-host
+    fetch cannot complete before everything it depends on has executed, so
+    all wall-clock measurements must end with this instead.
+    Returns the fetched scalar (sum of x) so callers can also use it as a
+    cheap checksum."""
+    return float(jax.device_get(jnp.sum(x)))
 
 
 @contextlib.contextmanager

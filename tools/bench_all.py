@@ -17,6 +17,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 import jax
 import jax.numpy as jnp
 
+from panda_gym_tpu.utils.profiling import sync
+
 TASKS = ["reach", "push", "slide", "pickandplace", "stack", "flip"]
 REACH_AO = ["reachao1", "reachao3", "wangexp-3", "library2", "narrow_tunnel"]
 
@@ -40,11 +42,11 @@ def bench_core(core, batch: int, segment: int, iters: int = 5) -> float:
 
     key = jax.random.PRNGKey(1)
     states, key, rs = seg(states, key)
-    jax.block_until_ready(rs)
+    sync(rs)
     t0 = time.perf_counter()
     for _ in range(iters):
         states, key, rs = seg(states, key)
-    jax.block_until_ready(rs)
+    sync(rs)
     return batch * segment * iters / (time.perf_counter() - t0)
 
 

@@ -22,10 +22,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 # overrides it after env-var processing — same trick as tests/conftest.py
 if os.environ.get("JAX_PLATFORMS"):
     import jax
+
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 import jax
 import jax.numpy as jnp
+
+from panda_gym_tpu.utils.profiling import sync
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -63,11 +66,11 @@ def bench(task: str = "reach", envs_per_device: int = 2048,
         key = jax.device_put(jax.random.PRNGKey(1), NamedSharding(mesh, P()))
         with mesh:
             states, key, rs = seg(states, key)
-            jax.block_until_ready(rs)
+            sync(rs)
             t0 = time.perf_counter()
             for _ in range(iters):
                 states, key, rs = seg(states, key)
-            jax.block_until_ready(rs)
+            sync(rs)
             dt = time.perf_counter() - t0
         sps = B * segment * iters / dt
         results.append({"devices": n, "envs": B, "steps_per_sec": round(sps)})
