@@ -367,6 +367,14 @@ class ReachAO(Task):
         self.obstacle_obs = self.config.task_observations.get("obstacles",
                                                               "vectors+closest_per_link")
         self.prior = self.config.task_observations.get("prior")
+        # Distance cap applied to the observation's per-link distances only
+        # (rewards keep raw values).  The reference feeds raw
+        # max_distance=999.0 readings into the policy net (reach_ao.py:907)
+        # — on scenes where Bullet's convex blindness yields 999s for buried
+        # links (its "wall" stage), those inputs blow up a resumed critic.
+        # Default keeps reference parity; fine-tunes may set e.g. 2.0.
+        self.obs_max_distance = float(
+            self.config.task_observations.get("max_distance", 999.0))
 
         # scene: plane + big table (reach_ao.py:268-290)
         self.scene = build_scene([], 2.0, 1.3, 0.4, 0.0)
@@ -741,16 +749,17 @@ class ReachAO(Task):
             return jnp.ones(self.obs_vec_dim)  # reach_ao.py:904
         gd, gpc, gpo = group_obstacle_distances(env.robot.model, fk, state)
         mode = self.obstacle_obs
+        gd_o = jnp.minimum(gd, self.obs_max_distance)
         if mode == "closest_per_link":
-            out = gd
+            out = gd_o
         elif mode == "closest":
-            out = jnp.min(gd)[None]
+            out = jnp.min(gd_o)[None]
         elif mode == "vectors":
             out = state.past_obs[-1]
         elif mode == "vectors+past":
             out = state.past_obs.reshape(-1)
         else:  # "vectors+closest_per_link" (default)
-            out = jnp.concatenate([gd, self._vector_obs(gd, gpc, gpo)])
+            out = jnp.concatenate([gd_o, self._vector_obs(gd, gpc, gpo)])
         if self.prior is not None:
             out = jnp.concatenate([out, self._prior_action(env, state, fk)])
         return out
@@ -959,16 +968,17 @@ def _make_step_post_batched(task: "ReachAO", env: RobotTaskEnv):
         robot_obs = jnp.concatenate(parts, axis=-1)
 
         # task obs per obstacle-observation mode (reach_ao.py:902-941)
+        gd_o = jnp.minimum(gd, task.obs_max_distance)
         if mode == "closest_per_link":
-            t_obs = gd
+            t_obs = gd_o
         elif mode == "closest":
-            t_obs = jnp.min(gd, axis=-1, keepdims=True)
+            t_obs = jnp.min(gd_o, axis=-1, keepdims=True)
         elif mode == "vectors":
             t_obs = states.past_obs[:, -1]
         elif mode == "vectors+past":
             t_obs = states.past_obs.reshape(B, -1)
         else:  # "vectors+closest_per_link"
-            t_obs = jnp.concatenate([gd, vec], axis=-1)
+            t_obs = jnp.concatenate([gd_o, vec], axis=-1)
 
         achieved = ee_pos
         desired = states.goal

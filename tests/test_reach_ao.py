@@ -221,3 +221,28 @@ def test_wall_height_curriculum_variants():
         assert spec.goal_high == full.goal_high
         assert spec.neutral_joints == full.neutral_joints
         assert spec.cuboid_positions == full.cuboid_positions
+
+
+def test_obs_max_distance_caps_distance_observations():
+    """task_observations['max_distance'] caps the per-link distance block of
+    the observation (blind 999 readings otherwise blow up value nets); the
+    default keeps the reference's raw 999.0 (reach_ao.py:907)."""
+    from panda_gym_tpu.rl.config import TrainConfig
+
+    import jax
+
+    # wall: links buried in the cuboid read 999 under the blindness rule
+    core_raw = rao.make_reach_ao_core(scenario="wall")
+    state, obs = core_raw.reset(jax.random.PRNGKey(0))
+    n_robot = 20
+    gd_block = np.asarray(obs["observation"][n_robot:n_robot + 9])
+    assert gd_block.max() > 900.0
+
+    cfg = TrainConfig()
+    cfg.task_observations = dict(cfg.task_observations, max_distance=2.0)
+    core_cap = rao.make_reach_ao_core(scenario="wall", config=cfg)
+    state, obs = core_cap.reset(jax.random.PRNGKey(0))
+    gd_block = np.asarray(obs["observation"][n_robot:n_robot + 9])
+    assert gd_block.max() <= 2.0 + 1e-6
+    # unaffected parts (vectors) still present
+    assert obs["observation"].shape == (56,)

@@ -68,6 +68,11 @@ def parse_args():
     p.add_argument("--benchmark", action="store_true",
                    help="run the 13-scenario benchmark after training")
     p.add_argument("--benchmark-episodes", type=int, default=100)
+    p.add_argument("--obs-max-distance", type=float, default=None,
+                   help="cap per-link obstacle distances in observations "
+                        "(reference feeds raw 999.0 'blind' readings, "
+                        "reach_ao.py:907; scenes with buried links need a "
+                        "sane cap, e.g. 2.0)")
     p.add_argument("--no-resume-buffer", action="store_true",
                    help="on --resume, start with a fresh replay buffer "
                         "(matches the reference's continue_learning, whose "
@@ -109,6 +114,9 @@ def main():
         eval_freq=args.eval_freq, n_eval_episodes=args.n_eval_episodes,
         seed=args.seed,
     )
+    if args.obs_max_distance is not None:
+        cfg.task_observations = dict(cfg.task_observations,
+                                     max_distance=args.obs_max_distance)
     cfg.hyperparams = Hyperparameters(args.algorithm)
 
     logger = RunLogger(group=args.group, name=args.name, config=cfg,
