@@ -278,7 +278,8 @@ def get_scenario(name: str) -> ScenarioSpec:
         "reachao_rand_start": _reachao_rand_start,
         "reachao_rand_shape": _reachao_rand_shape,
         "wall": _wall, "showcase": _showcase,
-        "wall_h1": lambda: _wall_h(0.1), "wall_h2": lambda: _wall_h(0.2),
+        "wall_h1": lambda: _wall_h(0.1), "wall_h15": lambda: _wall_h(0.15),
+        "wall_h22": lambda: _wall_h(0.22), "wall_h2": lambda: _wall_h(0.2),
     }
     if base in simple:
         return simple[base]()

@@ -214,7 +214,8 @@ def test_wall_height_curriculum_variants():
     """wall_h1/wall_h2 keep everything canonical except the wall's z
     half-extent (obstacle-height curriculum for the wall scene)."""
     full = rao.get_scenario("wall")
-    for name, h in [("wall_h1", 0.1), ("wall_h2", 0.2)]:
+    for name, h in [("wall_h1", 0.1), ("wall_h15", 0.15), ("wall_h2", 0.2),
+                    ("wall_h22", 0.22)]:
         spec = rao.get_scenario(name)
         assert spec.cuboids == ((0.2, 0.05, h),)
         assert spec.goal_low == full.goal_low
