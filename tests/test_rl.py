@@ -348,3 +348,20 @@ def test_load_run_prefers_best_model(tmp_path):
     names = [os.path.basename(p) for p in ckpts]
     assert names[-1] == "best_model.ckpt"
     assert "best_model_wall.ckpt" not in names
+
+
+def test_run_config_roundtrips_obs_max_distance(tmp_path):
+    """task_observations (incl. the obs distance cap) must survive the
+    config.json round trip so benchmark/eval envs rebuild identically
+    (the reference's W&B-YAML -> TrainConfig loader contract,
+    load_model_utils.py:43-50)."""
+    from panda_gym_tpu.rl.config import TrainConfig
+    from panda_gym_tpu.rl.logging_utils import RunLogger, load_run
+
+    cfg = TrainConfig()
+    cfg.task_observations = dict(cfg.task_observations, max_distance=2.0)
+    logger = RunLogger(root=str(tmp_path), group="g", name="r", config=cfg)
+    logger.close() if hasattr(logger, "close") else None
+    cfg2, ckpts = load_run(str(tmp_path / "g" / "r"))
+    assert cfg2.task_observations["max_distance"] == 2.0
+    assert ckpts == []
