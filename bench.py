@@ -49,13 +49,8 @@ def bench_env_steps(batch: int = 4096, segment: int = 25, iters: int = 10,
             body, (states, key), None, length=segment)
         return states, key, rewards
 
-    def sync(x):
-        # jax.block_until_ready is a no-op on the axon tunnel backend
-        # (returns before the computation finishes; observed 400x
-        # over-report), so synchronize the honest way: a scalar
-        # device-to-host fetch, which cannot complete before every chained
-        # dispatch has executed.
-        return float(jax.device_get(jnp.sum(x)))
+    # scalar-fetch barrier: block_until_ready no-ops on the tunnel backend
+    from panda_gym_tpu.utils.profiling import sync
 
     key = jax.random.PRNGKey(1)
     states, key, rewards = rollout_segment(states, key)  # warmup / compile

@@ -409,14 +409,11 @@ class BoundRobot:
         return float(np.asarray(self._robot.manipulability(self._adapter.state.q)))
 
     # core.py:150-171 joint getters.  Accepts the reference's PyBullet joint
-    # numbering, where the fingers are joints 9/10 (panda.py:62
-    # joint_indices=[0..6, 9, 10]); the chain stores them at dof 7/8.
+    # numbering (fingers at 9/10, fixed joints at 7/8, panda.py:62); the
+    # chain stores prismatic fingers at dof 7/8.
     def _dof_index(self, joint: int) -> int:
-        ndof = len(np.asarray(self._adapter.state.q))
-        if joint in (9, 10):
-            # welded-finger variant (ndof=7): fingers are fixed at 0
-            return joint - 2 if ndof > 7 else -1
-        return joint
+        from panda_gym_tpu.models.chain import pybullet_dof_index
+        return pybullet_dof_index(self._adapter.state.q.shape[0], joint)
 
     def get_joint_angle(self, joint: int) -> float:
         i = self._dof_index(joint)

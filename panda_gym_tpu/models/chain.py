@@ -89,6 +89,22 @@ class ChainModel:
     group_names: Tuple[str, ...] = struct.field(pytree_node=False, default=())
 
 
+def pybullet_dof_index(ndof: int, joint: int) -> int:
+    """Map the reference's PyBullet joint numbering for the custom Panda
+    URDF (revolute arm joints 0-6, fixed joints 7-8, finger prismatic
+    joints 9-10; panda.py:62 joint_indices=[0..6, 9, 10]) to this chain's
+    dof layout, which stores the fingers at dofs 7/8 when prismatic.
+
+    Returns -1 for joints that carry no dof in the queried model (fixed
+    joints, welded fingers, out of range): callers report 0.0 there, the
+    value PyBullet returns for a fixed joint's state."""
+    if joint in (7, 8):
+        return -1
+    if joint in (9, 10):
+        return joint - 2 if ndof > 7 else -1
+    return joint if 0 <= joint < min(ndof, 7) else -1
+
+
 def build_chain(
     joints: Sequence[tuple],
     links: Dict[str, tuple],

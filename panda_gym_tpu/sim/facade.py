@@ -419,23 +419,30 @@ class Simulation:
         body = self._robot_model.site_body_tuple[link]
         return np.asarray(fk.om[body])
 
+    def _joint_read(self, vec: np.ndarray, joint: int) -> float:
+        """Read one joint in the reference's PyBullet joint numbering
+        (fingers at 9/10, fixed joints at 7/8 read 0.0; panda.py:62)."""
+        from panda_gym_tpu.models.chain import pybullet_dof_index
+        i = pybullet_dof_index(vec.shape[0], joint)
+        return 0.0 if i < 0 else float(vec[i])
+
     def get_joint_angle(self, body_name: str, joint: int) -> float:
         """pybullet.py:301-312."""
-        return float(self._ensure_state().q[joint])
+        return self._joint_read(np.asarray(self._ensure_state().q), joint)
 
     def get_joint_angles(self, body_name: str, joints) -> np.ndarray:
         """pybullet.py:314-325."""
         q = np.asarray(self._ensure_state().q)
-        return q[np.asarray(joints)]
+        return np.asarray([self._joint_read(q, j) for j in joints])
 
     def get_joint_velocity(self, body_name: str, joint: int) -> float:
         """pybullet.py:327-338."""
-        return float(self._ensure_state().qd[joint])
+        return self._joint_read(np.asarray(self._ensure_state().qd), joint)
 
     def get_joint_velocities(self, body_name: str, joints) -> np.ndarray:
         """pybullet.py:340-348."""
         qd = np.asarray(self._ensure_state().qd)
-        return qd[np.asarray(joints)]
+        return np.asarray([self._joint_read(qd, j) for j in joints])
 
     # ------------------------------------------------------------ setters
     def set_base_pose(self, body_name: str, position, orientation) -> None:
@@ -494,7 +501,12 @@ class Simulation:
                     rec.get("velocity", np.zeros(3))))
 
     def set_joint_angle(self, body_name: str, joint: int, angle: float) -> None:
-        """pybullet.py:400-414 resetJointState."""
+        """pybullet.py:400-414 resetJointState.  Accepts PyBullet joint
+        numbering (fingers at 9/10); writes to fixed joints are no-ops."""
+        from panda_gym_tpu.models.chain import pybullet_dof_index
+        joint = pybullet_dof_index(len(self._q), joint)
+        if joint < 0:
+            return
         self._q[joint] = angle
         self._qd[joint] = 0.0
         self._ctrl_target[joint] = angle
@@ -514,8 +526,11 @@ class Simulation:
         """pybullet.py:437-463 setJointMotorControlArray: POSITION targets or
         VELOCITY targets per the facade's control mode; force clamps are the
         model's effort limits (already encoded in the chain)."""
+        from panda_gym_tpu.models.chain import pybullet_dof_index
         for j, t in zip(np.asarray(joints), np.asarray(target_angles)):
-            self._ctrl_target[int(j)] = float(t)
+            i = pybullet_dof_index(len(self._ctrl_target), int(j))
+            if i >= 0:
+                self._ctrl_target[i] = float(t)
         if self._state is not None:
             self._state = self._state.replace(
                 ctrl_target=jnp.asarray(self._ctrl_target, jnp.float32))

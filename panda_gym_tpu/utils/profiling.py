@@ -29,7 +29,8 @@ def trace(logdir: str = "/tmp/panda_gym_tpu_trace"):
 
     with profiling.trace("/tmp/trace"):
         states, *_ = core.batched_step(states, actions)
-        jax.block_until_ready(states.q)
+        profiling.sync(states.q)   # scalar fetch; block_until_ready can
+                                   # return early on tunnel backends
     """
     jax.profiler.start_trace(logdir)
     try:

@@ -305,3 +305,32 @@ def test_set_base_pose_euler_orientation(sim):
                       np.array([0.0, 0.0, np.pi / 2]))
     q = sim.get_base_orientation("ball")
     assert np.allclose(q, [0.0, 0.0, np.sqrt(0.5), np.sqrt(0.5)], atol=1e-6)
+
+
+def test_pybullet_joint_numbering_mapping():
+    """Joint getters/setters accept the reference's PyBullet joint numbering
+    (panda.py:62 joint_indices=[0..6, 9, 10]; 7/8 are fixed joints): fingers
+    map to the chain's prismatic dofs 7/8, fixed joints read 0.0 and ignore
+    writes."""
+    s = Simulation(n_substeps=20)
+    s.load_robot(gripper="prismatic")
+    s.set_joint_angles("robot", [0, 1, 2, 3, 4, 5, 6, 9, 10],
+                       NEUTRAL + [0.03, 0.02])
+    assert s.get_joint_angle("robot", 9) == pytest.approx(0.03)
+    assert s.get_joint_angle("robot", 10) == pytest.approx(0.02)
+    assert s.get_joint_angle("robot", 7) == 0.0   # fixed joint
+    assert s.get_joint_angle("robot", 8) == 0.0
+    qs = s.get_joint_angles("robot", [3, 7, 9, 10])
+    np.testing.assert_allclose(qs, [-2.2, 0.0, 0.03, 0.02], atol=1e-7)
+    assert s.get_joint_velocities("robot", [7, 9]).tolist() == [0.0, 0.0]
+    s.set_joint_angle("robot", 7, 9.9)            # ignored, no dof
+    assert s.get_joint_angle("robot", 7) == 0.0
+    s.control_joints("robot", [0, 9], [0.5, 0.04])
+
+    # welded-finger variant: finger joints have no dof; everything reads 0.0
+    w = Simulation(n_substeps=20)
+    w.load_robot(gripper="welded")
+    w.set_joint_angles("robot", [0, 9, 10], [0.3, 0.03, 0.02])
+    assert w.get_joint_angle("robot", 0) == pytest.approx(0.3)
+    assert w.get_joint_angle("robot", 9) == 0.0
+    assert w.get_joint_angle("robot", 10) == 0.0
