@@ -124,6 +124,32 @@ def test_perform_benchmark_schema():
     assert 0.0 <= res["success_rate"] <= 1.0
 
 
+@pytest.mark.parametrize("strategy,n_members",
+                         [("prior", 0), ("bcf", 1), ("bayesian_fusion", 2)])
+def test_perform_benchmark_strategies(strategy, n_members):
+    """Prior / BCF controller fusion and ensemble fusion run end-to-end
+    (evaluate.py:174-211 strategy dispatch, fuse_controllers :33-40,
+    evaluate_neo.py:18-92 prior-only eval)."""
+    from panda_gym_tpu.eval.benchmark import perform_benchmark
+    from panda_gym_tpu.rl.config import Hyperparameters
+    from panda_gym_tpu.rl.learners import make_learner
+    from panda_gym_tpu.envs.tasks.reach_ao import make_reach_ao_core
+
+    core = make_reach_ao_core("reachao1")
+    obs_probe = jax.eval_shape(core.reset, jax.random.PRNGKey(0))[1]
+    x_dim = (obs_probe["observation"].shape[0]
+             + 2 * obs_probe["achieved_goal"].shape[0])
+    learner = make_learner("SAC", x_dim, core.robot.action_dim,
+                           Hyperparameters("SAC"))
+    ts_list = [learner.init(jax.random.PRNGKey(i)) for i in range(n_members)]
+    res = perform_benchmark(learner, ts_list, core, n_episodes=3, horizon=8,
+                            strategy=strategy, seed=0)
+    assert res["scenario_episodes"] == 3
+    for k in ("success_rate", "collision_rate", "timeout_rate"):
+        assert 0.0 <= res[k] <= 1.0
+    assert np.isfinite(res["mean_reward"])
+
+
 def test_save_video_gif_and_frames(reach_core, tmp_path):
     """render.save_video: GIF + PNG-sequence export (offline equivalent of
     the reference's Bullet-GUI mp4 capture, pybullet.py:41-47)."""
