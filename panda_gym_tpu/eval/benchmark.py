@@ -168,6 +168,7 @@ def perform_benchmark(
 def evaluate_scenarios(learner, ts_list, make_core: Callable[[str], object],
                        scenarios: Sequence[str], n_episodes: int = 100,
                        horizon: int = 300, strategy: Optional[str] = None,
+                       prior_sigma: float = 0.3,
                        seed: int = 0) -> Dict[str, Dict[str, float]]:
     """Benchmark over the reference's scenario table
     (setup_training.py:334-381 benchmark_model / evaluate.py:361-379)."""
@@ -176,7 +177,8 @@ def evaluate_scenarios(learner, ts_list, make_core: Callable[[str], object],
         core = make_core(sc)
         out[sc] = perform_benchmark(learner, ts_list, core,
                                     n_episodes=n_episodes, horizon=horizon,
-                                    strategy=strategy, seed=seed)
+                                    strategy=strategy,
+                                    prior_sigma=prior_sigma, seed=seed)
     return out
 
 

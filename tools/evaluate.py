@@ -33,6 +33,10 @@ def main():
                    choices=[None, "mean", "confidence", "weighted_aggregation",
                             "bayesian_fusion", "prior", "bcf"],
                    help="ensemble fusion / prior strategy (action_selection.py)")
+    p.add_argument("--prior-sigma", type=float, default=0.3,
+                   help="NEO-prior confidence for BCF fusion (smaller = "
+                        "trust the prior more; fuse_controllers "
+                        "evaluate.py:33-40)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None,
                    help="output path prefix (default <first run>/benchmark)")
@@ -84,7 +88,7 @@ def main():
     results = evaluate_scenarios(
         learner, ts_list, make_core=make_core, scenarios=scenarios,
         n_episodes=args.episodes, horizon=args.horizon,
-        strategy=args.strategy, seed=args.seed)
+        strategy=args.strategy, prior_sigma=args.prior_sigma, seed=args.seed)
     out = args.out or os.path.join(
         args.runs[0] if args.runs else ".", "benchmark")
     display_and_save_benchmark_results(results, out)
