@@ -30,6 +30,17 @@ def load_benchmarks(group_dir: str):
                     stages = json.load(f).get("stages", [])
             trained_scenes[name] = {s[:-3] if s.endswith("_rs") else s
                                     for s in stages}
+        # ensemble eval results (evaluate_ensemble equivalent): candidate
+        # "models" named <run>+<suffix>; they claim exactly the scenes they
+        # were evaluated on (members were chosen per scene deliberately)
+        run_dir = os.path.join(group_dir, name)
+        if os.path.isdir(run_dir):
+            for fn in sorted(os.listdir(run_dir)):
+                if fn.startswith("benchmark_ens") and fn.endswith(".json"):
+                    ens_name = f"{name}+{fn[len('benchmark_'):-len('.json')]}"
+                    with open(os.path.join(run_dir, fn)) as f:
+                        runs[ens_name] = json.load(f)
+                    trained_scenes[ens_name] = set(runs[ens_name])
     return runs, trained_scenes
 
 
