@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from dataclasses import dataclass, field, replace
 from typing import Optional, Tuple
 
@@ -63,6 +64,7 @@ class ScenarioSpec:
     obstacle_sampler: Tuple = ("range",)      # ('range',) | ('wang',) | ('experimental',) | ('wang_paper',) | ('goal_hollow', rmin, rmax)
     pose_randomizer: Optional[Tuple] = None   # ('torus', front_only) | ('ik_goal',) | ('ik_sphere', rmin, rmax) | ('random_base',) | ('ik_range', low, high)
     randomize_robot_pose: bool = False
+    pose_randomize_prob: float = 1.0          # curriculum axis: fraction of episodes with a randomized start pose (rest start neutral)
     neutral_joints: Tuple[float, ...] = NEUTRAL
     goal_low: Tuple[float, float, float] = DEFAULT_GOAL_LOW
     goal_high: Tuple[float, float, float] = DEFAULT_GOAL_HIGH
@@ -266,6 +268,14 @@ def get_scenario(name: str) -> ScenarioSpec:
         spec = get_scenario(name[:-3])
         return replace(spec, randomize_robot_pose=True,
                        pose_randomizer=("ik_goal",))
+    m = re.fullmatch(r"(.+)_p(\d{1,2})", name)
+    if m:
+        # start-pose-probability curriculum variant: '<scene>_p25' is
+        # <scene> with only 25% of episodes starting from a randomized
+        # pose (the rest start neutral).  Stage axis for hard
+        # pose-randomized scenes, like the wall_h* height curriculum.
+        spec = get_scenario(m.group(1))
+        return replace(spec, pose_randomize_prob=int(m.group(2)) / 100.0)
     parts = name.split("-")
     base = parts[0]
     n = int(parts[1]) if len(parts) > 1 else 3
@@ -533,7 +543,15 @@ class ReachAO(Task):
         state = state.replace(q=q, qd=qd, ctrl_target=q)
         if not self.randomize_robot_pose or self.spec.pose_randomizer is None:
             return state
-        q_new = self._randomize_pose(env, state, key)
+        prob = self.spec.pose_randomize_prob
+        if prob >= 1.0:
+            q_new = self._randomize_pose(env, state, key)
+        else:
+            # start-pose curriculum: randomize only a fraction of episodes
+            # (key split gated on prob so prob=1.0 scenes keep their streams)
+            k_gate, k_pose = jax.random.split(key)
+            take = jax.random.bernoulli(k_gate, prob)
+            q_new = jnp.where(take, self._randomize_pose(env, state, k_pose), q)
         return state.replace(q=q_new, ctrl_target=q_new)
 
     def _randomize_pose(self, env, state, key):
@@ -617,7 +635,17 @@ class ReachAO(Task):
 
         # collision-free robot pose fix-up (:991-992, 1035-1060)
         if self.randomize_robot_pose and spec.pose_randomizer is not None:
-            state = self._set_coll_free_robot(env, state, k_robot)
+            fixed = self._set_coll_free_robot(env, state, k_robot)
+            if spec.pose_randomize_prob < 1.0:
+                # pose-probability curriculum: episodes gated to a neutral
+                # start must stay neutral (obstacles were already sampled
+                # clear of that pose), not be re-randomized by the fix-up
+                neutral = jnp.asarray(env.robot.neutral)
+                was_rand = jnp.any(jnp.abs(state.q - neutral) > 1e-7)
+                state = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(was_rand, a, b), fixed, state)
+            else:
+                state = fixed
 
         if self.config.__dict__.get("randomize_obstacle_velocity", False):
             vel = jax.random.uniform(k_vel, (state.obstacle_vel.shape[0], 3),

@@ -224,6 +224,39 @@ def test_wall_height_curriculum_variants():
         assert spec.cuboid_positions == full.cuboid_positions
 
 
+def test_pose_prob_curriculum_variants():
+    """`<scene>_pNN` randomizes the start pose in only NN% of episodes —
+    the stage axis for pose-randomized scenes (reachao_rand_start)."""
+    from dataclasses import asdict
+
+    full = rao.get_scenario("reachao_rand_start")
+    for name, p in [("reachao_rand_start_p25", 0.25),
+                    ("reachao_rand_start_p50", 0.5),
+                    ("reachao_rand_start_p75", 0.75)]:
+        spec = rao.get_scenario(name)
+        assert spec.pose_randomize_prob == p
+        same = {k: v for k, v in asdict(spec).items()
+                if k != "pose_randomize_prob"}
+        assert same == {k: v for k, v in asdict(full).items()
+                        if k != "pose_randomize_prob"}
+
+
+def test_pose_prob_zero_starts_neutral():
+    """p=0 must reduce to the fixed neutral start under jit/vmap."""
+    import jax
+
+    core = rao.make_reach_ao_core("reachao_rand_start_p0")
+    keys = jax.random.split(jax.random.PRNGKey(3), 8)
+    states, _ = jax.jit(jax.vmap(core.reset))(keys)
+    neutral = jnp.asarray(core.robot.reset_q()[0])
+    assert jnp.allclose(states.q, neutral[None, :])
+
+    core_full = rao.make_reach_ao_core("reachao_rand_start")
+    states_full, _ = jax.jit(jax.vmap(core_full.reset))(keys)
+    # the full scene really randomizes: poses differ across the batch
+    assert not jnp.allclose(states_full.q, neutral[None, :])
+
+
 def test_obs_max_distance_caps_distance_observations():
     """task_observations['max_distance'] caps the per-link distance block of
     the observation (blind 999 readings otherwise blow up value nets); the
