@@ -50,6 +50,11 @@ def parse_args():
     p.add_argument("--goal-condition", default="reach",
                    choices=["reach", "halt"])
     p.add_argument("--collision-reward", type=float, default=-100.0)
+    p.add_argument("--safety-distance", type=float, default=0.0,
+                   help="treat obstacle distances <= this as collisions "
+                        "during training (reference train_config.py "
+                        "safety_distance; reach_ao.py:1150 margin) — train "
+                        "with clearance, evaluate at 0.0")
     p.add_argument("--prior-steps", type=int, default=0,
                    help="NEO-prior imitation transitions to prefill "
                         "(imitation_learning.py:6-56 equivalent)")
@@ -110,6 +115,7 @@ def main():
         reward_type=args.reward_type, control_type=args.control_type,
         goal_condition=args.goal_condition,
         collision_reward=args.collision_reward,
+        safety_distance=args.safety_distance,
         prior_steps=args.prior_steps,
         eval_freq=args.eval_freq, n_eval_episodes=args.n_eval_episodes,
         seed=args.seed,
