@@ -48,8 +48,13 @@ def summarize(group_dir: str):
     runs, trained_scenes = load_benchmarks(group_dir)
     if not runs:
         raise SystemExit(f"no benchmark.json under {group_dir}")
-    base_name = next((n for n in runs if "base" in n), next(iter(runs)))
-    scenes = list(runs[base_name].keys())
+    # the "generalist" column = the best single model/ensemble benchmarked
+    # on EVERY scene (tqc_base unless a broader run beats it)
+    ref_name = next((n for n in runs if "base" in n), next(iter(runs)))
+    scenes = list(runs[ref_name].keys())
+    full = {n: r for n, r in runs.items() if all(s in r for s in scenes)}
+    base_name = max(full, key=lambda n: sum(
+        full[n][s]["success_rate"] for s in scenes))
 
     summary = {}
     for scene in scenes:
@@ -83,7 +88,8 @@ def summarize(group_dir: str):
     print(md)
     mean_best = sum(r["best_success"] for r in summary.values()) / len(summary)
     mean_base = sum(r["base_success"] for r in summary.values()) / len(summary)
-    print(f"mean success: generalist {mean_base:.3f} -> per-scene best {mean_best:.3f}")
+    print(f"mean success: generalist {mean_base:.3f} ({base_name}) "
+          f"-> per-scene best {mean_best:.3f}")
     return summary
 
 
