@@ -69,6 +69,11 @@ def main():
         ts_list.append(ts)
     if not isinstance(getattr(cfg, "hyperparams", None), Hyperparameters):
         cfg.hyperparams = Hyperparameters(cfg.algorithm)
+    # safety_distance is a TRAINING margin (clearance counted as collision);
+    # benchmarks always score at true collision so margin-trained runs stay
+    # comparable (reference evaluates with an env fresh from gym.make,
+    # evaluate.py:361-379, not the training config)
+    cfg.safety_distance = 0.0
 
     make_core = lambda sc: make_reach_ao_core(
         scenario=sc, config=cfg,
