@@ -15,9 +15,14 @@ GROUP=round1_campaign
 RD=training/run_data/$GROUP
 BASE=$RD/tqc_base
 
-SCENES=(reachao1 reachao2 reachao3 wangexp-3 reachao_rand library1 library2 \
+# pass 1 uses the curriculum variants that got the per-scene specialists
+# off 0 (wall_h22 -> wall, tunnel_rs -> tunnel, library1_rs -> library1,
+# rand_start_p50 -> rand_start); passes 2-3 train the real scenes
+PASS1=(reachao1 reachao2 reachao3 wangexp-3 reachao_rand library1_rs library2 \
+       narrow_tunnel tunnel_rs wall_h22 workshop industrial reachao_rand_start_p50)
+PASS23=(reachao1 reachao2 reachao3 wangexp-3 reachao_rand library1 library2 \
         narrow_tunnel tunnel wall workshop industrial reachao_rand_start)
-STAGES=("${SCENES[@]}" "${SCENES[@]}" "${SCENES[@]}")
+STAGES=("${PASS1[@]}" "${PASS23[@]}" "${PASS23[@]}")
 N=${#STAGES[@]}
 THRESH=(); EPS=()
 for ((i=0; i<N; i++)); do THRESH+=(0.9); EPS+=(100); done
@@ -27,7 +32,7 @@ gen_seed () { # name seed
   python tools/train.py \
     --stages "${STAGES[@]}" --success-thresholds "${THRESH[@]}" \
     --max-ep-steps "${EPS[@]}" --max-timesteps 100000 --n-envs 64 --seed $2 \
-    --obs-max-distance 2.0 --collision-reward -200 \
+    --obs-max-distance 2.0 --collision-reward -100 \
     --group $GROUP --name $1 \
     --resume $BASE/final.ckpt --no-resume-buffer 2>&1 | tail -3
   timeout 7200 python tools/evaluate.py $RD/$1 \
