@@ -364,7 +364,8 @@ class ReachAO(Task):
     def __init__(self, robot: PandaRobot, scenario: str = "wangexp_3",
                  config: Optional[TrainConfig] = None,
                  ee_error_threshold: float = 0.05,
-                 speed_threshold: float = 0.5):
+                 speed_threshold: float = 0.5,
+                 capacity: Optional[int] = None):
         self.config = config or TrainConfig()
         self.spec = get_scenario(scenario)
         self.scenario_name = scenario
@@ -396,7 +397,12 @@ class ReachAO(Task):
         self.n_cuboids = len(spec.cuboids)
         self.static_boxes = _load_static_boxes(spec.static_scenario)
         self.n_dynamic = self.n_spheres + self.n_cuboids
-        self.n_obstacles = max(self.n_dynamic + len(self.static_boxes), 1)
+        # `capacity` pads the obstacle arrays beyond this scenario's natural
+        # roster (extra slots stay inactive at 99.9) so states from different
+        # scenarios share one shape — the multi-scene mixture env (below)
+        # selects scenarios per env under lax.switch, which requires it.
+        self.n_obstacles = max(self.n_dynamic + len(self.static_boxes), 1,
+                               capacity or 0)
 
         ngroup = robot.model.ngroup
         self.obs_vec_dim = 3 * ngroup  # 27 for the 9 collision links
@@ -897,18 +903,72 @@ class ReachAO(Task):
 def make_reach_ao_core(scenario: str = "reachao1",
                        config: Optional[TrainConfig] = None,
                        ee_error_threshold: float = 0.05,
-                       speed_threshold: float = 0.1) -> RobotTaskEnv:
+                       speed_threshold: float = 0.1,
+                       capacity: Optional[int] = None) -> RobotTaskEnv:
     config = config or TrainConfig()
+    if "+" in scenario:
+        return make_reach_ao_mixture_core(
+            scenario.split("+"), config=config,
+            ee_error_threshold=ee_error_threshold,
+            speed_threshold=speed_threshold)
     robot = PandaRobot(PandaConfig(
         block_gripper=True, control_type=config.control_type,
         obs_type=tuple(config.obs_type), action_limiter=config.action_limiter,
         base_position=(0.0, 0.0, 0.0)))
     task = ReachAO(robot, scenario=scenario, config=config,
                    ee_error_threshold=ee_error_threshold,
-                   speed_threshold=speed_threshold)
+                   speed_threshold=speed_threshold, capacity=capacity)
     return RobotTaskEnv(robot, task,
                         terminate_on_success=config.terminate_on_success,
                         n_substeps=config.n_substeps)
+
+
+class _MixtureReachAOEnv(RobotTaskEnv):
+    """Multi-scene ReachAO: each env instance draws a scenario at reset.
+
+    The TPU-native replacement for the reference's serial curriculum over
+    scenes (setup_training.py:233-307 trains one scene at a time, so the
+    policy forgets earlier scenes): every scenario's obstacle arrays are
+    padded to one shared capacity, so a single batched step covers all
+    scenes and each reset picks one per env under lax.switch — a rollout of
+    N envs trains on all scenes simultaneously and the replay buffer stays
+    mixed by construction.  Physics/obs/reward machinery is identical across
+    scenarios (shared config); only reset differs.
+    """
+
+    def __init__(self, cores):
+        self._cores = cores
+        base = cores[0]
+        super().__init__(base.robot, base.task,
+                         terminate_on_success=base.terminate_on_success,
+                         n_substeps=base.n_substeps)
+
+    def reset(self, key):
+        k_sel, k_reset = jax.random.split(key)
+        sid = jax.random.randint(k_sel, (), 0, len(self._cores))
+        return jax.lax.switch(sid, [c.reset for c in self._cores], k_reset)
+
+
+def make_reach_ao_mixture_core(scenarios, config: Optional[TrainConfig] = None,
+                               ee_error_threshold: float = 0.05,
+                               speed_threshold: float = 0.1) -> RobotTaskEnv:
+    """Uniform mixture over `scenarios` (oversample a scene by repeating its
+    name).  Exposed through make_reach_ao_core via '+'-joined scenario names,
+    e.g. --stages "reachao1+wall+tunnel"."""
+    config = config or TrainConfig()
+
+    def natural_capacity(name: str) -> int:
+        spec = get_scenario(name)
+        return max(len(spec.spheres) + len(spec.cuboids)
+                   + len(_load_static_boxes(spec.static_scenario)), 1)
+
+    capacity = max(natural_capacity(s) for s in scenarios)
+    cores = [make_reach_ao_core(s, config=config,
+                                ee_error_threshold=ee_error_threshold,
+                                speed_threshold=speed_threshold,
+                                capacity=capacity)
+             for s in scenarios]
+    return _MixtureReachAOEnv(cores)
 
 
 class PandaReachAOEnv(GymAdapter):

@@ -301,3 +301,47 @@ def test_wangexp3_equals_reachao3_under_default_config():
     # the two inert-by-default knobs that DO differ:
     assert a.pose_randomizer != b.pose_randomizer
     assert b.sample_size_obs == (3, 3)
+
+
+def test_mixture_core_resets_across_scenarios():
+    """'+'-joined scenario names build the multi-scene mixture env: obstacle
+    arrays padded to a shared capacity, per-env scenario draw at reset."""
+    core = rao.make_reach_ao_core("reachao1+wall+narrow_tunnel")
+    # capacity = narrow_tunnel's 3 static boxes + goal probe minimum
+    caps = [rao.make_reach_ao_core(s).task.n_obstacles
+            for s in ("reachao1", "wall", "narrow_tunnel")]
+    assert core.task.n_obstacles == max(caps)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 24)
+    states, obs = jax.jit(jax.vmap(core.reset))(keys)
+    assert obs["observation"].shape == (24, 56)
+    # different scenarios produce visibly different obstacle rosters:
+    # reachao1 = 1 active sphere, wall = 1 active box, narrow_tunnel = 3 boxes
+    n_active = np.asarray(jnp.sum(states.obstacle_active, axis=1))
+    assert set(n_active.tolist()) >= {1, 3}, n_active
+    # batched step runs the shared physics over the mixed batch
+    actions = jnp.zeros((24, core.robot.action_dim))
+    states2, obs2, r, term, trunc, info = jax.jit(core.batched_step)(
+        states, actions)
+    assert np.all(np.isfinite(np.asarray(obs2["observation"])))
+
+
+def test_mixture_reset_matches_member_distribution():
+    """A mixture env's per-scenario resets are the member scenarios' own
+    resets (same sub-key), so episodes drawn for scenario i are
+    distributionally identical to single-scene training.  Tolerance is
+    float-noise only: lax.switch may reorder fused ops inside a branch."""
+    mix = rao.make_reach_ao_core("reachao1+wall")
+    solo = rao.make_reach_ao_core("wall", capacity=mix.task.n_obstacles)
+    # find a key that selects scenario index 1 (wall)
+    for seed in range(20):
+        key = jax.random.PRNGKey(seed)
+        k_sel, k_reset = jax.random.split(key)
+        if int(jax.random.randint(k_sel, (), 0, 2)) == 1:
+            s_mix, o_mix = mix.reset(key)
+            s_solo, o_solo = solo.reset(k_reset)
+            np.testing.assert_allclose(np.asarray(o_mix["observation"]),
+                                       np.asarray(o_solo["observation"]),
+                                       rtol=0, atol=1e-6)
+            return
+    raise AssertionError("no seed selected scenario 1")
