@@ -23,6 +23,8 @@ def register_reach_ao(max_ep_steps: int = 50) -> None:
     register(
         id="PandaReachAO-v3",
         entry_point="panda_gym_tpu.envs.tasks.reach_ao:PandaReachAOEnv",
+        vector_entry_point="panda_gym_tpu.envs.vector_adapter:make_vector_env",
+        kwargs={"vector_task": "reachao"},
         max_episode_steps=max_ep_steps,
     )
 
@@ -39,21 +41,27 @@ def register_envs(max_ep_steps: int = 50) -> None:
             # the reference maps "joints" -> robot control_type "js"
             kwargs = {"reward_type": reward_type,
                       "control_type": "js" if control_type == "joints" else "ee"}
-            for name, entry in [
-                ("PandaReach", "panda_gym_tpu.envs.panda_tasks:PandaReachEnv"),
-                ("PandaReachChecker", "panda_gym_tpu.envs.panda_tasks:PandaReachCheckerEnv"),
-                ("PandaPush", "panda_gym_tpu.envs.panda_tasks:PandaPushEnv"),
-                ("PandaSlide", "panda_gym_tpu.envs.panda_tasks:PandaSlideEnv"),
-                ("PandaPickAndPlace", "panda_gym_tpu.envs.panda_tasks:PandaPickAndPlaceEnv"),
-                ("PandaStack", "panda_gym_tpu.envs.panda_tasks:PandaStackEnv"),
-                ("PandaFlip", "panda_gym_tpu.envs.panda_tasks:PandaFlipEnv"),
-                ("MyCobotReach", "panda_gym_tpu.envs.panda_tasks:MyCobotReachEnv"),
+            for name, entry, vector_task in [
+                ("PandaReach", "panda_gym_tpu.envs.panda_tasks:PandaReachEnv", "reach"),
+                ("PandaReachChecker", "panda_gym_tpu.envs.panda_tasks:PandaReachCheckerEnv", "reach"),
+                ("PandaPush", "panda_gym_tpu.envs.panda_tasks:PandaPushEnv", "push"),
+                ("PandaSlide", "panda_gym_tpu.envs.panda_tasks:PandaSlideEnv", "slide"),
+                ("PandaPickAndPlace", "panda_gym_tpu.envs.panda_tasks:PandaPickAndPlaceEnv", "pickandplace"),
+                ("PandaStack", "panda_gym_tpu.envs.panda_tasks:PandaStackEnv", "stack"),
+                ("PandaFlip", "panda_gym_tpu.envs.panda_tasks:PandaFlipEnv", "flip"),
+                ("MyCobotReach", "panda_gym_tpu.envs.panda_tasks:MyCobotReachEnv", "mycobotreach"),
             ]:
                 ver = "v0" if name == "MyCobotReach" else "v3"  # __init__.py:38-44
                 env_id = f"{name}{control_suffix}{reward_suffix}-{ver}"
                 if env_id in registry:
                     del registry[env_id]
-                register(id=env_id, entry_point=entry, kwargs=kwargs,
+                # vector_entry_point: gym.make_vec(id, num_envs=N) serves the
+                # batch from ONE jitted step (envs/vector_adapter.py) — the
+                # SubprocVecEnv replacement on the public gym surface
+                register(id=env_id, entry_point=entry,
+                         vector_entry_point=(
+                             "panda_gym_tpu.envs.vector_adapter:make_vector_env"),
+                         kwargs=dict(kwargs, vector_task=vector_task),
                          max_episode_steps=max_ep_steps)
                 ids.append(env_id)
     register_reach_ao(max_ep_steps)

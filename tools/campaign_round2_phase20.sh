@@ -4,34 +4,35 @@
 #
 # Why: a serial curriculum forgets — each stage's rollouts overwrite the
 # on-policy data distribution, and by the last stage the replay is
-# dominated by that scene (tqc_base scores 0.00 on scenes it saw 30
-# stages ago).  The mixture env ('+'-joined scenario names,
+# dominated by that scene (round 1's tqc_base scored 0.00 on scenes it
+# saw 30 stages earlier).  The mixture env ('+'-joined scenario names,
 # envs/tasks/reach_ao.py::make_reach_ao_mixture_core) draws a scenario
 # PER ENV at reset under lax.switch, so every 64-env rollout covers all
 # scenes at once and the replay buffer stays mixed by construction.
 #
-# Two stages: (A) the curriculum variants that got the per-scene
-# specialists off 0 (wall_h22, tunnel_rs, library1_rs, rand_start_p50),
-# then (B) the true benchmark scenes.  Threshold 2.0 = never advance
-# early (eval success on the mixture is the mean over scenes; we want
-# the full budget).
+# From scratch (round-1 checkpoints did not survive the filesystem
+# reset): (0) bootstrap on the old base curriculum as a mixture, (A) the
+# curriculum variants that got round 1's per-scene specialists off 0
+# (wall_h22, tunnel_rs, library1_rs, rand_start_p50), then (B) the true
+# benchmark scenes.  Threshold 2.0 = never advance early.
 set -u -o pipefail
 cd /root/repo
 GROUP=round2_campaign
 RD=training/run_data/$GROUP
-BASE=training/run_data/round1_campaign/tqc_base
 
+MIX_0="reachao1+reachao2+reachao3+wangexp-3"
 MIX_A="reachao1+reachao2+reachao3+wangexp-3+reachao_rand+library1_rs+library2+narrow_tunnel+tunnel_rs+wall_h22+workshop+industrial+reachao_rand_start_p50"
 MIX_B="reachao1+reachao2+reachao3+wangexp-3+reachao_rand+library1+library2+narrow_tunnel+tunnel+wall+workshop+industrial+reachao_rand_start"
 
 gen_seed () { # name seed
   echo "=== phase20 $1 (mixture generalist seed=$2) ==="
   python tools/train.py \
-    --stages "$MIX_A" "$MIX_B" --success-thresholds 0.92 2.0 \
-    --max-ep-steps 100 100 --max-timesteps 500000 --n-envs 64 --seed "$2" \
+    --stages "$MIX_0" "$MIX_A" "$MIX_B" \
+    --success-thresholds 0.85 0.92 2.0 \
+    --max-ep-steps 75 100 100 \
+    --max-timesteps 600000 --n-envs 64 --seed "$2" \
     --obs-max-distance 2.0 --collision-reward -100 \
-    --group $GROUP --name "$1" \
-    --resume $BASE/final.ckpt --no-resume-buffer 2>&1 | tail -4
+    --group $GROUP --name "$1" 2>&1 | tail -5
   timeout 10800 python tools/evaluate.py $RD/"$1" \
     --episodes 100 --out $RD/"$1"/benchmark 2>&1 | tail -16
 }

@@ -139,6 +139,9 @@ def main():
     trainer.learn(seed=args.seed)
     final = os.path.join(logger.dir, "final.ckpt")
     trainer.save(final, include_buffer=True)
+    # model-only twin (small enough to commit; survives filesystem resets
+    # between rounds, unlike the replay-carrying final.ckpt)
+    trainer.save(os.path.join(logger.dir, "final_model.ckpt"))
     print(f"saved final learner to {final}")
 
     if args.benchmark:
