@@ -365,3 +365,28 @@ def test_run_config_roundtrips_obs_max_distance(tmp_path):
     cfg2, ckpts = load_run(str(tmp_path / "g" / "r"))
     assert cfg2.task_observations["max_distance"] == 2.0
     assert ckpts == []
+
+
+def test_trainer_classic_contact_task_smoke():
+    """Trainer over a contact task (Push) — the tools/train_classic.py path:
+    HER relabeling through _GoalTask.reward_from_aux with object physics in
+    the loop (reference trains classic tasks via SB3+HER, README upstream)."""
+    from panda_gym_tpu.rl.config import TrainConfig
+    from panda_gym_tpu.rl.train import Trainer
+    from panda_gym_tpu.envs.panda_tasks import make_core
+
+    cfg = TrainConfig()
+    cfg.n_envs = 4
+    cfg.stages = ["push"]
+    cfg.success_thresholds = [2.0]
+    cfg.max_ep_steps = [5]
+    cfg.ee_error_thresholds = [0.05]
+    cfg.max_timesteps = 40
+    cfg.learning_starts = 10
+    cfg.eval_freq = 1000
+    cfg.benchmark_eval_scenes = []
+
+    tr = Trainer(cfg, lambda task, e, sp: make_core(task))
+    tr.learn(seed=0)
+    assert tr.timesteps >= 40
+    assert any("rollout_success" in r for r in tr.metrics.history)

@@ -42,6 +42,12 @@ def main():
                    help="output path prefix (default <first run>/benchmark)")
     args = p.parse_args()
 
+    # honor JAX_PLATFORMS even where a site hook (e.g. the axon TPU plugin)
+    # overrides the env var: jax.config takes precedence at backend init
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     import pickle
 
     from panda_gym_tpu.envs.tasks.reach_ao import make_reach_ao_core

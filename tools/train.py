@@ -94,6 +94,13 @@ def main():
     import signal
     faulthandler.register(signal.SIGUSR1)
 
+    # honor JAX_PLATFORMS even where a site hook (e.g. the axon TPU plugin)
+    # overrides the env var: jax.config takes precedence at backend init
+    import os as _os
+    if _os.environ.get("JAX_PLATFORMS"):
+        import jax
+        jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+
     args = parse_args()
 
     from panda_gym_tpu.envs.tasks.reach_ao import make_reach_ao_core
