@@ -28,7 +28,14 @@ class RunLogger:
         self._tb = None
         if config is not None:
             cfg = asdict(config) if is_dataclass(config) else dict(config)
-            cfg.pop("hyperparams", None)
+            # serialize hyperparams as a plain dict so eval can rebuild the
+            # exact learner (net_arch overrides etc.), like the reference's
+            # W&B config.yaml round-trip (load_model_utils.py:43-50)
+            hp = cfg.pop("hyperparams", None)
+            if hp is not None and hasattr(hp, "as_dict"):
+                cfg["hyperparams"] = hp.as_dict()
+            elif isinstance(hp, dict):
+                cfg["hyperparams"] = hp
             with open(os.path.join(self.dir, "config.json"), "w") as f:
                 json.dump(cfg, f, indent=1, default=str)
         if use_wandb:
@@ -90,16 +97,26 @@ def load_run(run_dir: str):
     loader resolves), else final.ckpt.  Per-scene best_model_<scene>.ckpt
     eval artifacts are excluded from the stage-checkpoint list.
     """
-    from panda_gym_tpu.rl.config import TrainConfig
+    from panda_gym_tpu.rl.config import Hyperparameters, TrainConfig
 
     cfg = TrainConfig()
     cfg_path = os.path.join(run_dir, "config.json")
     if os.path.exists(cfg_path):
         with open(cfg_path) as f:
             raw = json.load(f)
+        hp_raw = raw.pop("hyperparams", None)
         for k, v in raw.items():
             if hasattr(cfg, k):
                 setattr(cfg, k, v)
+        # rebuild the exact hyperparameters (incl. net_arch overrides) so a
+        # loaded checkpoint gets the same network it was trained with;
+        # configs from before hyperparams serialization fall back to the
+        # algorithm preset (the old behavior)
+        hp = Hyperparameters(cfg.algorithm)
+        if isinstance(hp_raw, dict):
+            for k, v in hp_raw.items():
+                setattr(hp, k, v)
+        cfg.hyperparams = hp
     ckpts = sorted(
         os.path.join(run_dir, f) for f in os.listdir(run_dir)
         if f.endswith(".ckpt") and f != "final.ckpt"

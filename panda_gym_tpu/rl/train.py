@@ -40,6 +40,18 @@ def flat_x(obs):
         [obs["achieved_goal"], obs["desired_goal"], obs["observation"]], axis=-1)
 
 
+def stage_tag(stage: str, limit: int = 120) -> str:
+    """Filesystem-safe tag for a stage name. Long mixture names
+    ('a+b+...' can exceed the 255-byte filename limit) are truncated with
+    a digest suffix so the per-stage snapshot stays unique and the save
+    cannot fail."""
+    if len(stage) <= limit:
+        return stage
+    import hashlib
+    digest = hashlib.sha1(stage.encode()).hexdigest()[:8]
+    return f"{stage[:100]}...{digest}"
+
+
 class VectorEnv:
     """Batched functional env with jit-compiled episode rollouts.
 
@@ -213,7 +225,8 @@ class Trainer:
             # per-stage learner snapshot (setup_training.py:299 model.save)
             run_dir = getattr(self.logger, "dir", None)
             if run_dir:
-                self.save(os.path.join(run_dir, f"model_{stage}_{i}.ckpt"))
+                self.save(os.path.join(run_dir,
+                                       f"model_{stage_tag(stage)}_{i}.ckpt"))
         return self.ts
 
     def _ensure_learner(self, venv: VectorEnv, key):

@@ -367,6 +367,51 @@ def test_run_config_roundtrips_obs_max_distance(tmp_path):
     assert ckpts == []
 
 
+def test_stage_tag_long_mixture_names():
+    """Per-stage snapshot filenames must survive arbitrarily long mixture
+    stage names (a 23-scene '+'-joined name broke the 255-byte filename
+    limit in the wild); short names pass through untouched."""
+    from panda_gym_tpu.rl.train import stage_tag
+
+    assert stage_tag("reachao1") == "reachao1"
+    long = "+".join(["reachao_rand_start"] * 20)
+    tag = stage_tag(long)
+    assert len(f"model_{tag}_0.ckpt") < 160
+    # unique per distinct name
+    assert tag != stage_tag(long + "+wall")
+    assert tag == stage_tag(long)
+
+
+def test_run_config_roundtrips_net_arch(tmp_path):
+    """Hyperparameter overrides (e.g. --net-arch) must survive the
+    config.json round trip so evaluate.py rebuilds the exact network a
+    checkpoint was trained with — loading a [512,512] policy into the
+    preset's [256,256] net would fail or silently mis-evaluate."""
+    from panda_gym_tpu.rl.config import Hyperparameters, TrainConfig
+    from panda_gym_tpu.rl.logging_utils import RunLogger, load_run
+
+    cfg = TrainConfig()
+    cfg.hyperparams = Hyperparameters("TQC")
+    cfg.hyperparams.policy_kwargs = dict(
+        cfg.hyperparams.policy_kwargs, net_arch=[512, 512])
+    RunLogger(root=str(tmp_path), group="g", name="r", config=cfg).close()
+    cfg2, _ = load_run(str(tmp_path / "g" / "r"))
+    assert isinstance(cfg2.hyperparams, Hyperparameters)
+    assert cfg2.hyperparams.policy_kwargs["net_arch"] == [512, 512]
+    # untouched preset fields come back too
+    assert cfg2.hyperparams.n_quantiles == 25
+
+    # configs written before hyperparams serialization (no key) fall back
+    # to the algorithm preset
+    import json
+    cfg_path = tmp_path / "g" / "r" / "config.json"
+    raw = json.loads(cfg_path.read_text())
+    raw.pop("hyperparams")
+    cfg_path.write_text(json.dumps(raw))
+    cfg3, _ = load_run(str(tmp_path / "g" / "r"))
+    assert cfg3.hyperparams.policy_kwargs["net_arch"] == [256, 256]
+
+
 def test_trainer_classic_contact_task_smoke():
     """Trainer over a contact task (Push) — the tools/train_classic.py path:
     HER relabeling through _GoalTask.reward_from_aux with object physics in

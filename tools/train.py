@@ -78,6 +78,10 @@ def parse_args():
                         "(reference feeds raw 999.0 'blind' readings, "
                         "reach_ao.py:907; scenes with buried links need a "
                         "sane cap, e.g. 2.0)")
+    p.add_argument("--net-arch", nargs="+", type=int, default=None,
+                   help="override the algorithm preset's MLP widths, e.g. "
+                        "--net-arch 512 512 (reference: policy_kwargs "
+                        "net_arch, hyperparameters.py:20)")
     p.add_argument("--no-resume-buffer", action="store_true",
                    help="on --resume, start with a fresh replay buffer "
                         "(matches the reference's continue_learning, whose "
@@ -131,6 +135,9 @@ def main():
         cfg.task_observations = dict(cfg.task_observations,
                                      max_distance=args.obs_max_distance)
     cfg.hyperparams = Hyperparameters(args.algorithm)
+    if args.net_arch is not None:
+        cfg.hyperparams.policy_kwargs = dict(
+            cfg.hyperparams.policy_kwargs, net_arch=list(args.net_arch))
 
     logger = RunLogger(group=args.group, name=args.name, config=cfg,
                        use_wandb=args.wandb, use_tensorboard=args.tensorboard)
