@@ -21,15 +21,19 @@ def load_benchmarks(group_dir: str):
         if os.path.isfile(path):
             with open(path) as f:
                 runs[name] = json.load(f)
-            # the scene a fine-tune "claims" = its final training stage
-            # (strip the _rs random-start suffix of curriculum stage 1)
+            # the scenes a run "claims" = its training stages; mixture
+            # stages ('a+b+c') claim every component, and curriculum-variant
+            # suffixes (_rs random-start, _hN wall height, _pNN start-pose
+            # probability) claim their canonical scene
             cfg_path = os.path.join(group_dir, name, "config.json")
             stages = []
             if os.path.isfile(cfg_path):
                 with open(cfg_path) as f:
                     stages = json.load(f).get("stages", [])
-            trained_scenes[name] = {s[:-3] if s.endswith("_rs") else s
-                                    for s in stages}
+            import re
+            trained_scenes[name] = {
+                re.sub(r"(_rs|_h\d+|_p\d{1,2})$", "", comp)
+                for s in stages for comp in s.split("+")}
         # ensemble eval results (evaluate_ensemble equivalent): candidate
         # "models" named <run>+<suffix>; they claim exactly the scenes they
         # were evaluated on (members were chosen per scene deliberately)
@@ -49,8 +53,9 @@ def summarize(group_dir: str):
     if not runs:
         raise SystemExit(f"no benchmark.json under {group_dir}")
     # the "generalist" column = the best single model/ensemble benchmarked
-    # on EVERY scene (tqc_base unless a broader run beats it)
-    ref_name = next((n for n in runs if "base" in n), next(iter(runs)))
+    # on EVERY scene; the scene list comes from the widest benchmark (ties
+    # broken toward a "base"-named run, round 1's convention)
+    ref_name = max(runs, key=lambda n: (len(runs[n]), "base" in n))
     scenes = list(runs[ref_name].keys())
     full = {n: r for n, r in runs.items() if all(s in r for s in scenes)}
     base_name = max(full, key=lambda n: sum(
