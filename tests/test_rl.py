@@ -367,6 +367,39 @@ def test_run_config_roundtrips_obs_max_distance(tmp_path):
     assert ckpts == []
 
 
+def test_summarize_campaign_mixture_claims(tmp_path):
+    """The campaign summarizer must (a) let a mixture-trained run ('a+b'
+    stages, incl. _rs/_hN/_pNN curriculum-variant suffixes) claim each
+    component scene, and (b) pick the widest benchmark as the scene list —
+    a single-scene fine-tune sorting first must not collapse the table."""
+    import json
+    import sys
+    sys.path.insert(0, "tools")
+    from summarize_campaign import summarize
+
+    def write_run(name, stages, bench):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "config.json").write_text(json.dumps({"stages": stages}))
+        (d / "benchmark.json").write_text(json.dumps(
+            {s: {"success_rate": v, "collision_rate": 0.0}
+             for s, v in bench.items()}))
+
+    # sorts FIRST and covers one scene — must not define the scene list
+    write_run("a_specialist", ["wall"], {"wall": 0.9})
+    # mixture generalist over both scenes (with a variant suffix)
+    write_run("gen", ["tunnel_rs+wall_h22"], {"wall": 0.5, "tunnel": 0.8})
+
+    summary = summarize(str(tmp_path))
+    assert set(summary) == {"wall", "tunnel"}
+    # specialist claims wall via its stage; generalist claims tunnel
+    assert summary["wall"]["best_model"] == "a_specialist"
+    assert summary["wall"]["best_success"] == 0.9
+    assert summary["tunnel"]["best_model"] == "gen"
+    # the generalist column is the full-coverage run
+    assert summary["wall"]["base_success"] == 0.5
+
+
 def test_stage_tag_long_mixture_names():
     """Per-stage snapshot filenames must survive arbitrarily long mixture
     stage names (a 23-scene '+'-joined name broke the 255-byte filename
