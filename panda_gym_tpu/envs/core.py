@@ -292,8 +292,12 @@ class GymAdapter(_gym.Env):
     # -- gymnasium API ---------------------------------------------------
     def reset(self, seed: Optional[int] = None, options=None):
         if seed is None:
+            # fold fresh OS entropy + a per-adapter counter into one 31-bit
+            # seed (PRNGKey accepts any uint32; keep clear of the explicit
+            # user-seed space by staying within [0, 2^31) after mixing)
             self._np_seed_counter += 1
-            seed = np.random.SeedSequence().entropy % (2**31) + self._np_seed_counter
+            seed = (np.random.SeedSequence().entropy
+                    + self._np_seed_counter) % (2 ** 31)
         key = jax.random.PRNGKey(int(seed))
         state, obs, success = self._jit_reset(key)
         self._state = state

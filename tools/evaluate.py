@@ -64,6 +64,7 @@ def main():
     cfg = TrainConfig()
     ts_list = []
     learner = None
+    member_archs = []  # (run_dir, algorithm, net_arch) per ensemble member
     for run_dir in args.runs:
         cfg, ckpts = load_run(run_dir)
         if not ckpts:
@@ -73,6 +74,21 @@ def main():
         ts = payload["ts"] if isinstance(payload, dict) and "ts" in payload \
             else payload
         ts_list.append(ts)
+        hp = getattr(cfg, "hyperparams", None)
+        arch = None
+        if hp is not None:
+            pk = getattr(hp, "policy_kwargs", None) or {}
+            arch = tuple(pk.get("net_arch", ()) or ()) or None
+        member_archs.append((run_dir, cfg.algorithm, arch))
+    # one learner serves every member's params: all members must agree on
+    # algorithm and net_arch, else param pytrees mismatch (or silently
+    # mis-evaluate when shapes coincide)
+    if len({(alg, arch) for _, alg, arch in member_archs}) > 1:
+        detail = "\n".join(f"  {d}: algorithm={a} net_arch={n}"
+                           for d, a, n in member_archs)
+        raise SystemExit(
+            "ensemble members disagree on algorithm/net_arch — one learner "
+            f"cannot serve them all:\n{detail}")
     if not isinstance(getattr(cfg, "hyperparams", None), Hyperparameters):
         cfg.hyperparams = Hyperparameters(cfg.algorithm)
     # safety_distance is a TRAINING margin (clearance counted as collision);

@@ -11,7 +11,19 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
+
+
+def canonical_scene(component: str) -> str:
+    """Strip curriculum-variant suffixes (_rs random-start, _hN wall height,
+    _pNN start-pose probability) down to the canonical scene name; suffixes
+    can stack (e.g. 'wall_h22_p100' -> 'wall'), so strip to fixpoint."""
+    while True:
+        stripped = re.sub(r"(_rs|_h\d+|_p\d+)$", "", component)
+        if stripped == component:
+            return stripped
+        component = stripped
 
 
 def load_benchmarks(group_dir: str):
@@ -30,9 +42,8 @@ def load_benchmarks(group_dir: str):
             if os.path.isfile(cfg_path):
                 with open(cfg_path) as f:
                     stages = json.load(f).get("stages", [])
-            import re
             trained_scenes[name] = {
-                re.sub(r"(_rs|_h\d+|_p\d{1,2})$", "", comp)
+                canonical_scene(comp)
                 for s in stages for comp in s.split("+")}
         # ensemble eval results (evaluate_ensemble equivalent): candidate
         # "models" named <run>+<suffix>; they claim exactly the scenes they

@@ -70,9 +70,13 @@ def main():
     from panda_gym_tpu.rl.train import Trainer
 
     horizon = args.max_ep_steps or (100 if args.task == "stack" else 50)
-    kw = dict(reward_type=args.reward_type)
-    if args.control_type:
-        kw["control_type"] = args.control_type
+    # per-task reference default (make_core factories: js for reach/push/
+    # mycobotreach, ee for slide/pickandplace/stack/flip) — record the SAME
+    # value in config.json that the env factory actually uses, so a
+    # config-driven rebuild reconstructs the right action/obs space
+    default_ct = "js" if args.task in ("reach", "push", "mycobotreach") else "ee"
+    control_type = args.control_type or default_ct
+    kw = dict(reward_type=args.reward_type, control_type=control_type)
 
     cfg = TrainConfig(
         name=args.name or f"{args.algorithm.lower()}_{args.task}",
@@ -82,7 +86,7 @@ def main():
         max_ep_steps=[horizon], max_timesteps=args.max_timesteps,
         learning_starts=args.learning_starts,
         reward_type=args.reward_type,
-        control_type=args.control_type or "js",
+        control_type=control_type,
         eval_freq=args.eval_freq, n_eval_episodes=args.n_eval_episodes,
         seed=args.seed,
     )
