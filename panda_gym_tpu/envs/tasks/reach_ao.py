@@ -376,6 +376,11 @@ class ReachAO(Task):
                                      or self.config.randomize_robot_pose)
         self.truncate_on_collision = self.config.truncate_on_collision
         self.terminate_on_success = self.config.terminate_on_success
+        # moving obstacles: reset samples velocities (below) and the engine
+        # integrates them each substep (reference sets base velocities and
+        # PyBullet integrates, reach_ao.py:104, 997-1001, 1091-1095)
+        self.moving_obstacles = bool(
+            getattr(self.config, "randomize_obstacle_velocity", False))
         self.obstacle_obs = self.config.task_observations.get("obstacles",
                                                               "vectors+closest_per_link")
         self.prior = self.config.task_observations.get("prior")
@@ -653,7 +658,7 @@ class ReachAO(Task):
             else:
                 state = fixed
 
-        if self.config.__dict__.get("randomize_obstacle_velocity", False):
+        if getattr(self.config, "randomize_obstacle_velocity", False):
             vel = jax.random.uniform(k_vel, (state.obstacle_vel.shape[0], 3),
                                      minval=-0.2, maxval=0.2)  # :151-152, 1091-1095
             state = state.replace(obstacle_vel=jnp.where(

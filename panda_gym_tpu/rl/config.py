@@ -114,10 +114,23 @@ class TrainConfig:
 
     # performance settings
     n_envs: int = 8
+    # interleaved collect/update (rl/train.py): one gradient burst after
+    # every vector env step instead of one big burst per episode batch —
+    # keeps large n_envs sample-efficient.  utd overrides the SB3-derived
+    # updates-per-transition ratio (TQC preset: 0.125); update_batch_size
+    # overrides the algorithm preset's batch_size (fewer, larger updates
+    # trade gradient count for TPU throughput).
+    interleave_updates: bool = True
+    utd: Optional[float] = None
+    update_batch_size: Optional[int] = None
 
     # environment settings
     env_name: str = "PandaReachAO-v3"
     randomize_robot_pose: bool = False
+    # moving obstacles: sample a random obstacle velocity at reset and let
+    # the engine integrate it each substep (reference reach_ao.py:104 sets
+    # velocities, PyBullet integrates them, :997-1001, 1091-1095)
+    randomize_obstacle_velocity: bool = False
     truncate_on_collision: bool = True
     terminate_on_success: bool = True
     fixed_target: Optional[List[float]] = None

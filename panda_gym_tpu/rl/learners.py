@@ -23,8 +23,9 @@ import optax
 from flax import struct
 
 from panda_gym_tpu.rl.networks import (
-    DeterministicActor, QCritic, SquashedGaussianActor, deterministic_action,
-    sample_squashed,
+    DeterministicActor, QCritic, SDEGaussianActor, SquashedGaussianActor,
+    deterministic_action, sample_sde_squashed, sample_squashed,
+    sde_action_from_expl, sde_std,
 )
 
 
@@ -52,13 +53,12 @@ class _Base:
         self.critic_tx = optax.adam(lr)
         self.alpha_tx = optax.adam(lr)
         self.net_arch = tuple(getattr(hp, "policy_kwargs", {}).get("net_arch", [256, 256]))
-        # the reference's log_std_init=-3 parameterizes gSDE weight noise
-        # (hyperparameters.py:20); for direct action-space sampling that std
-        # (~0.05) kills exploration, so SDE configs map to a sane -0.5.
-        if getattr(hp, "use_sde", False):
-            self.log_std_init = -0.5
-        else:
-            self.log_std_init = getattr(hp, "policy_kwargs", {}).get("log_std_init", -1.0)
+        # gSDE (use_sde=True, every reference SAC/TQC preset,
+        # hyperparameters.py:19-27): log_std_init=-3 parameterizes the
+        # weight-space noise matrix, usable as-is with the SDE actor.
+        self.use_sde = bool(getattr(hp, "use_sde", False))
+        self.log_std_init = getattr(hp, "policy_kwargs", {}).get(
+            "log_std_init", -3.0 if self.use_sde else -1.0)
         self.target_entropy = -float(act_dim)
 
     def soft_update(self, params, target):
@@ -73,10 +73,23 @@ class SACLearner(_Base):
 
     def __init__(self, obs_dim, act_dim, hp):
         super().__init__(obs_dim, act_dim, hp)
-        self.actor = SquashedGaussianActor(act_dim, self.net_arch, self.log_std_init)
+        if self.use_sde:
+            self.actor = SDEGaussianActor(act_dim, self.net_arch,
+                                          self.log_std_init)
+        else:
+            self.actor = SquashedGaussianActor(act_dim, self.net_arch,
+                                               self.log_std_init)
         self.n_critics = getattr(hp, "n_critics", 2)
         out_dim = max(getattr(self, "N_QUANTILES", 0), 1)
         self.critic = QCritic(self.net_arch, out_dim, self.n_critics)
+
+    # one sampling helper both actor types share: (action, logp), reparam.
+    def _actor_sample(self, actor_params, x, key):
+        if self.use_sde:
+            mean, latent, log_std = self.actor.apply(actor_params, x)
+            return sample_sde_squashed(mean, latent, log_std, key)
+        mean, log_std = self.actor.apply(actor_params, x)
+        return sample_squashed(mean, log_std, key)
 
     def init(self, key) -> TrainState:
         k1, k2 = jax.random.split(key)
@@ -94,21 +107,43 @@ class SACLearner(_Base):
             step=jnp.asarray(0, jnp.int32))
 
     # ------------------------------------------------------------- acting
-    def act(self, ts: TrainState, x, key, deterministic: bool = False):
+    def act(self, ts: TrainState, x, key, deterministic: bool = False,
+            expl=None):
+        """expl: optional per-env episode-persistent gSDE exploration
+        matrices (B, latent_dim, act_dim) from sample_expl(); None falls
+        back to a per-call shared noise draw."""
+        if self.use_sde:
+            mean, latent, log_std = self.actor.apply(ts.actor_params, x)
+            if deterministic:
+                return deterministic_action(mean)
+            if expl is not None:
+                return sde_action_from_expl(mean, latent, log_std, expl)
+            a, _ = sample_sde_squashed(mean, latent, log_std, key)
+            return a
         mean, log_std = self.actor.apply(ts.actor_params, x)
         if deterministic:
             return deterministic_action(mean)
         a, _ = sample_squashed(mean, log_std, key)
         return a
 
+    def sample_expl(self, ts: TrainState, key, n: int):
+        """Per-episode gSDE exploration matrices (sde_sample_freq=-1:
+        resampled once per rollout, SB3 collect_rollouts reset_noise);
+        None for non-SDE actors."""
+        if not self.use_sde:
+            return None
+        return jax.random.normal(key, (n, self.net_arch[-1], self.act_dim))
+
     def act_with_std(self, ts: TrainState, x):
+        if self.use_sde:
+            mean, latent, log_std = self.actor.apply(ts.actor_params, x)
+            return deterministic_action(mean), sde_std(latent, log_std)
         mean, log_std = self.actor.apply(ts.actor_params, x)
         return deterministic_action(mean), jnp.exp(log_std)
 
     # ------------------------------------------------------------- target
     def _target_q(self, ts, x2, key, alpha):
-        mean, log_std = self.actor.apply(ts.actor_params, x2)
-        a2, logp2 = sample_squashed(mean, log_std, key)
+        a2, logp2 = self._actor_sample(ts.actor_params, x2, key)
         q2 = self.critic.apply(ts.target_critic_params, x2, a2)  # (C,B,1)
         q2 = jnp.min(q2[..., 0], axis=0)                          # (B,)
         return q2 - alpha * logp2
@@ -133,8 +168,7 @@ class SACLearner(_Base):
         critic_params = optax.apply_updates(ts.critic_params, cup)
 
         def actor_loss(actor_params):
-            mean, log_std = self.actor.apply(actor_params, batch["x"])
-            a, logp = sample_squashed(mean, log_std, k_a)
+            a, logp = self._actor_sample(actor_params, batch["x"], k_a)
             q = self.critic.apply(critic_params, batch["x"], a)[..., 0]
             q = jnp.min(q, axis=0)
             return jnp.mean(alpha * logp - q), logp
@@ -173,8 +207,7 @@ class TQCLearner(SACLearner):
         self.top_drop = getattr(hp, "top_quantiles_to_drop_per_net", 2)
 
     def _target_q(self, ts, x2, key, alpha):
-        mean, log_std = self.actor.apply(ts.actor_params, x2)
-        a2, logp2 = sample_squashed(mean, log_std, key)
+        a2, logp2 = self._actor_sample(ts.actor_params, x2, key)
         z2 = self.critic.apply(ts.target_critic_params, x2, a2)  # (C,B,Q)
         C, B, Q = z2.shape
         pooled = jnp.swapaxes(z2, 0, 1).reshape(B, C * Q)
@@ -211,8 +244,7 @@ class TQCLearner(SACLearner):
         critic_params = optax.apply_updates(ts.critic_params, cup)
 
         def actor_loss(actor_params):
-            mean, log_std = self.actor.apply(actor_params, batch["x"])
-            a, logp = sample_squashed(mean, log_std, k_a)
+            a, logp = self._actor_sample(actor_params, batch["x"], k_a)
             z = self.critic.apply(critic_params, batch["x"], a)  # (C,B,Q)
             q = jnp.mean(z, axis=(0, 2))
             return jnp.mean(alpha * logp - q), logp
@@ -324,6 +356,27 @@ class DDPGLearner(TD3Learner):
         super().__init__(obs_dim, act_dim, hp)
         self.n_critics = 1
         self.critic = QCritic(self.net_arch, 1, 1)
+
+
+def ckpt_uses_sde(ts) -> bool:
+    """Whether a TrainState's actor was built with the gSDE actor.
+
+    Checkpoints from before the true-gSDE implementation carry the legacy
+    squashed-Gaussian actor even when their config says use_sde=True (the old
+    remap); callers rebuilding a learner around a loaded TrainState should
+    align hp.use_sde with this so parameter trees match."""
+    try:
+        params = ts.actor_params.get("params", {})
+    except AttributeError:
+        return False
+    return "log_std_sde" in params
+
+
+def align_sde_with_ckpt(hp, ts) -> None:
+    """Mutate hp.use_sde in place to match the checkpoint's actor type."""
+    has = ckpt_uses_sde(ts)
+    if bool(getattr(hp, "use_sde", False)) != has:
+        hp.use_sde = has
 
 
 def make_learner(algorithm: str, obs_dim: int, act_dim: int, hp):

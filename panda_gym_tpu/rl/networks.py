@@ -73,6 +73,72 @@ def deterministic_action(mean):
     return jnp.tanh(mean)
 
 
+class SDEGaussianActor(nn.Module):
+    """tanh-squashed actor with generalized State-Dependent Exploration.
+
+    SB3 gSDE semantics (StateDependentNoiseDistribution, used by every
+    reference SAC/TQC preset: use_sde=True, log_std_init=-3,
+    hyperparameters.py:19-27): exploration noise is weight-space —
+    a matrix W ~ N(0, 1)^(latent_dim, action_dim) is drawn once per
+    episode/rollout and the pre-tanh action is
+
+        pre = mean(s) + latent(s) @ (W * exp(log_std))
+
+    so noise is a smooth deterministic function of the state within an
+    episode.  log_std is a (latent_dim, action_dim) parameter (full_std);
+    the marginal std used for log-probs is analytic:
+    sqrt(latent^2 @ exp(log_std)^2).
+    """
+
+    action_dim: int
+    hidden: Sequence[int] = (256, 256)
+    log_std_init: float = -3.0
+
+    @nn.compact
+    def __call__(self, x):
+        for h in self.hidden:
+            x = nn.relu(nn.Dense(h)(x))
+        latent = x
+        mean = nn.Dense(self.action_dim)(latent)
+        log_std = self.param(
+            "log_std_sde", nn.initializers.constant(self.log_std_init),
+            (self.hidden[-1], self.action_dim))
+        # SDE log_std bounds are tighter than plain SAC's (SB3 uses -20..2
+        # for the squashed Gaussian but the SDE sigma multiplies latent
+        # activations; clip keeps exp() finite under optimization)
+        return mean, latent, jnp.clip(log_std, LOG_STD_MIN, LOG_STD_MAX)
+
+
+def sde_std(latent, log_std):
+    """Analytic marginal std of latent @ (W * exp(log_std)), W ~ N(0,1):
+    element-wise sqrt(latent^2 @ sigma^2).  (B, L) x (L, A) -> (B, A)."""
+    return jnp.sqrt(jnp.square(latent) @ jnp.exp(2.0 * log_std) + 1e-6)
+
+
+def sample_sde_squashed(mean, latent, log_std, key):
+    """Sample a tanh-squashed gSDE action + log prob with ONE shared
+    exploration matrix for the whole batch (SB3 resamples the matrix per
+    gradient step via actor.reset_noise(), sac.py train loop)."""
+    W = jax.random.normal(key, log_std.shape)                 # (L, A)
+    noise = latent @ (W * jnp.exp(log_std))                   # (B, A)
+    pre = mean + noise
+    std = sde_std(latent, log_std)
+    logp = jnp.sum(
+        -0.5 * ((pre - mean) / std) ** 2 - jnp.log(std)
+        - 0.5 * jnp.log(2 * jnp.pi), axis=-1)
+    logp -= jnp.sum(2.0 * (jnp.log(2.0) - pre - jax.nn.softplus(-2.0 * pre)),
+                    axis=-1)
+    return jnp.tanh(pre), logp
+
+
+def sde_action_from_expl(mean, latent, log_std, expl):
+    """Per-env episode-persistent gSDE action: expl is (B, L, A) standard
+    normal drawn once per episode (sde_sample_freq=-1 -> per-rollout,
+    SB3 off_policy_algorithm.collect_rollouts reset_noise)."""
+    noise = jnp.einsum("bl,bla->ba", latent, expl * jnp.exp(log_std)[None])
+    return jnp.tanh(mean + noise)
+
+
 class DeterministicActor(nn.Module):
     """tanh deterministic actor (TD3/DDPG)."""
 

@@ -104,28 +104,77 @@ class VectorEnv:
                     learner, ts, key, deterministic, policy_fn))
         return self._rollout_cache[k](ts, key)
 
+    def rollout_train(self, learner, ts, buf, key, update_fn):
+        """Fused collect + interleaved-update rollout, jit-cached.
+
+        update_fn(ts, buf, key) -> (ts, key, metrics) runs one gradient-update
+        burst against the (frozen) replay buffer; it is invoked after EVERY
+        vector env step, so the policy improves `horizon` times per episode
+        batch instead of once at the end — this is what keeps large n_envs
+        sample-efficient (an SB3-style train_freq inside one jit; the
+        reference updates every train_freq=8 env transitions,
+        hyperparameters.py:16-17).  The buffer itself is only appended to
+        after the episodes complete (HER needs whole episodes)."""
+        k = (id(learner), id(update_fn))
+        if k not in self._rollout_cache:
+            def fused(ts, buf, key):
+                ts, episodes, stats, m, key = self._rollout_episode(
+                    learner, ts, key, False, None, buf=buf,
+                    update_fn=update_fn)
+                buf = her.add_episodes(buf, **episodes)
+                return ts, buf, stats, m, key
+            self._rollout_cache[k] = jax.jit(fused)
+        return self._rollout_cache[k](ts, buf, key)
+
+    def _sample_expl(self, learner, ts, key):
+        """Per-episode gSDE exploration matrices, env-sharded like the
+        batch; None for non-SDE learners."""
+        if not hasattr(learner, "sample_expl"):
+            return None
+        expl = learner.sample_expl(ts, key, self.n_envs)
+        if expl is not None and self.env_sharding is not None:
+            expl = jax.lax.with_sharding_constraint(expl, self.env_sharding)
+        return expl
+
     def _rollout_episode(self, learner, ts, key, deterministic=False,
-                         policy_fn=None):
+                         policy_fn=None, buf=None, update_fn=None):
         """One synchronous episode batch of `horizon` steps.
 
         Returns stacked episode tensors shaped for HerBuffer plus episode
         stats.  Post-termination steps are frozen (no further state change,
         no further writes).  `policy_fn(x, states, key) -> actions` overrides
         the learner (used by the prior-bootstrap imitation fill).
+
+        With `update_fn` (and `buf`), each env step is followed by a
+        gradient-update burst and the updated TrainState is carried into the
+        next step's action selection; returns (ts, episodes, stats, metrics,
+        key) instead of (episodes, stats, key).
         """
         core = self.core
         T = self.horizon
+        train = update_fn is not None
+
+        key, k_expl = jax.random.split(key)
+        expl = None
+        if policy_fn is None and not deterministic:
+            expl = self._sample_expl(learner, ts, k_expl)
 
         def step_fn(carry, t):
-            states, obs, done, ep_len, key = carry
+            if train:
+                states, obs, done, ep_len, ts_c, key = carry
+            else:
+                states, obs, done, ep_len, key = carry
+                ts_c = ts
             key, k_act, k_step = jax.random.split(key, 3)
             x = flat_x(obs)
             if policy_fn is not None:
                 action = policy_fn(x, states, k_act)
             elif deterministic:
-                action = learner.act(ts, x, k_act, deterministic=True)
+                action = learner.act(ts_c, x, k_act, deterministic=True)
+            elif expl is not None:
+                action = learner.act(ts_c, x, k_act, expl=expl)
             else:
-                action = learner.act(ts, x, k_act)
+                action = learner.act(ts_c, x, k_act)
             nstates, nobs, reward, term, trunc, info = core.batched_step(
                 states, action)
             step_done = term | trunc
@@ -148,14 +197,24 @@ class VectorEnv:
                        terminated=jnp.where(done, False, term | trunc),
                        success=info["is_success"], collided=info["is_truncated"],
                        active=~done)
+            if train:
+                key, k_upd = jax.random.split(key)
+                ts2, _k, m = update_fn(ts_c, buf, k_upd)
+                return (states, obs, new_done, ep_len, ts2, key), (out, m)
             return (states, obs, new_done, ep_len, key), out
 
         key, k_reset = jax.random.split(key)
         states, obs0 = self.batch_reset(k_reset)
         done0 = jnp.zeros(self.n_envs, bool)
         ep_len0 = jnp.zeros(self.n_envs, jnp.int32)
-        (states, obs_f, done, ep_len, key), traj = jax.lax.scan(
-            step_fn, (states, obs0, done0, ep_len0, key), jnp.arange(T))
+        if train:
+            (states, obs_f, done, ep_len, ts, key), (traj, ms) = jax.lax.scan(
+                step_fn, (states, obs0, done0, ep_len0, ts, key),
+                jnp.arange(T))
+            metrics = jax.tree_util.tree_map(lambda v: v[-1], ms)
+        else:
+            (states, obs_f, done, ep_len, key), traj = jax.lax.scan(
+                step_fn, (states, obs0, done0, ep_len0, key), jnp.arange(T))
 
         # episode tensors: (N, T+1, ...) observations incl. the initial one
         obs_seq = jnp.concatenate(
@@ -174,6 +233,8 @@ class VectorEnv:
             collided=jnp.any(traj["collided"], axis=0).astype(jnp.float32),
             ep_reward=jnp.sum(jnp.swapaxes(traj["reward"], 0, 1), axis=1),
             ep_len=ep_len.astype(jnp.float32))
+        if train:
+            return ts, episodes, stats, metrics, key
         return episodes, stats, key
 
 
@@ -270,15 +331,25 @@ class Trainer:
         self._ensure_learner(venv, k_init)
         learner = self.learner
         hp = cfg.hyperparams
-        batch_size = getattr(hp, "batch_size", 256)
+        batch_size = getattr(cfg, "update_batch_size", None) or getattr(
+            hp, "batch_size", 256)
         # update-to-data ratio: SB3's TQC preset (train_freq=8 vec-steps of 8
         # envs, gradient_steps=8, setup_training + hyperparameters.py:16-17)
         # performs 8 updates per 64 transitions = 0.125 updates/transition.
-        # Keep that ratio independent of our (much larger) n_envs.
-        utd = getattr(hp, "gradient_steps", 8) / (
-            max(getattr(hp, "train_freq", 8), 1) * 8.0)
+        # Keep that ratio independent of our (much larger) n_envs; cfg.utd
+        # overrides it (e.g. fewer, larger-batch updates at big n_envs).
+        utd = getattr(cfg, "utd", None)
+        if utd is None:
+            utd = getattr(hp, "gradient_steps", 8) / (
+                max(getattr(hp, "train_freq", 8), 1) * 8.0)
         transitions_per_rollout = cfg.n_envs * horizon
         updates_per_rollout = max(int(utd * transitions_per_rollout), 1)
+        # interleaved mode: one update burst after EVERY vector env step, so
+        # the policy improves `horizon` times per episode batch — the fix for
+        # the large-n_envs sample-efficiency stall (collect-then-update made
+        # training effectively offline between policy improvements).
+        interleave = getattr(cfg, "interleave_updates", True)
+        n_upd_per_step = max(int(round(utd * cfg.n_envs)), 1)
 
         reward_fn = self._reward_fn(core)
 
@@ -311,9 +382,8 @@ class Trainer:
             buf = her.add_episodes(buf, **episodes)
             return buf, stats, key
 
-        @partial(jax.jit, static_argnums=())
-        def update_many(ts, buf, key):
-            def body(carry, _):
+        def update_burst(ts, buf, key, length):
+            def one(carry, _):
                 ts, key = carry
                 key, k_s, k_u = jax.random.split(key, 3)
                 batch = her.sample(buf, k_s, batch_size, reward_fn)
@@ -326,9 +396,16 @@ class Trainer:
                          terminated=batch["terminated"].astype(jnp.float32))
                 ts, m = learner.update(ts, b, k_u)
                 return (ts, key), m
-            (ts, key), ms = jax.lax.scan(body, (ts, key), None,
-                                         length=updates_per_rollout)
+            (ts, key), ms = jax.lax.scan(one, (ts, key), None, length=length)
             return ts, key, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+        # per-env-step burst for the fused rollout (rollout_train)
+        def step_update(ts, buf, key):
+            return update_burst(ts, buf, key, n_upd_per_step)
+
+        @partial(jax.jit, static_argnums=())
+        def update_many(ts, buf, key):
+            return update_burst(ts, buf, key, updates_per_rollout)
 
         stage_steps = 0
         learning_started = False
@@ -336,7 +413,14 @@ class Trainer:
         while stage_steps < cfg.max_timesteps:
             key, k_c = jax.random.split(key)
             t_c = time.time()
-            self.buffer, stats, _ = collect(self.ts, self.buffer, k_c)
+            m = {}
+            t_u = 0.0
+            if learning_started and interleave:
+                self.ts, self.buffer, stats, m, _ = venv.rollout_train(
+                    learner, self.ts, self.buffer, k_c, step_update)
+                m = {k: float(v) for k, v in m.items()}
+            else:
+                self.buffer, stats, _ = collect(self.ts, self.buffer, k_c)
             rollout_steps = int(jnp.sum(stats["ep_len"]))
             t_c = time.time() - t_c
             stage_steps += rollout_steps
@@ -346,9 +430,7 @@ class Trainer:
                     and stage_steps >= min(cfg.learning_starts,
                                            cfg.max_timesteps // 4)):
                 learning_started = True
-            m = {}
-            t_u = 0.0
-            if learning_started:
+            if learning_started and not interleave:
                 key, k_u = jax.random.split(key)
                 t_u = time.time()
                 self.ts, key, m = update_many(self.ts, self.buffer, k_u)
@@ -456,3 +538,10 @@ class Trainer:
                 self.buffer = payload["buffer"]
         else:  # legacy: raw TrainState pickle
             self.ts = payload
+        # pre-gSDE checkpoints carry the legacy Gaussian actor even under
+        # use_sde=True configs; align so _ensure_learner builds a matching
+        # parameter tree.
+        if self.learner is None and self.config.algorithm in (
+                "SAC", "TQC", "TQC_v2"):
+            from panda_gym_tpu.rl.learners import align_sde_with_ckpt
+            align_sde_with_ckpt(self.config.hyperparams, self.ts)

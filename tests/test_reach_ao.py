@@ -345,3 +345,58 @@ def test_mixture_reset_matches_member_distribution():
                                        rtol=0, atol=1e-6)
             return
     raise AssertionError("no seed selected scenario 1")
+
+
+def test_moving_obstacles_translate_and_collide():
+    """randomize_obstacle_velocity must be live end-to-end: obstacles get a
+    velocity at reset (reference reach_ao.py:997-1001 set_random_obs_velocity,
+    range +-0.2, :151-152), the engine integrates it every substep (PyBullet
+    integrates base velocities, :1091-1095), and a moving obstacle can cause
+    a collision truncation."""
+    cfg = TrainConfig(randomize_obstacle_velocity=True)
+    core = rao.make_reach_ao_core("reachao1", config=cfg)
+    assert core.task.moving_obstacles is True
+
+    state, obs = jax.jit(core.reset)(jax.random.PRNGKey(0))
+    vel = np.asarray(state.obstacle_vel[0])
+    assert 0.0 < np.linalg.norm(vel) <= np.linalg.norm([0.2, 0.2, 0.2])
+
+    # velocities integrate: |dp| == |v| * n_steps * dt
+    p0 = np.asarray(state.obstacle_pos[0])
+    step = jax.jit(core.step)
+    s = state
+    for _ in range(5):
+        s, *_ = step(s, jnp.zeros(core.robot.action_dim))
+    dp = np.linalg.norm(np.asarray(s.obstacle_pos[0]) - p0)
+    np.testing.assert_allclose(dp, np.linalg.norm(vel) * 5 * (core.n_substeps / 500.0),
+                               rtol=1e-4)
+
+    # a sphere steered straight at the robot base column truncates the
+    # episode via the per-substep collision latch
+    fk_ee = np.asarray(obs["achieved_goal"])
+    aim = state.replace(
+        obstacle_pos=state.obstacle_pos.at[0].set(
+            jnp.asarray(fk_ee + np.array([0.3, 0.0, 0.0]), jnp.float32)),
+        obstacle_vel=state.obstacle_vel.at[0].set(
+            jnp.asarray([-0.75, 0.0, 0.0], jnp.float32)))
+    s = aim
+    truncated = False
+    for _ in range(20):
+        s, o, r, term, trunc, info = step(s, jnp.zeros(core.robot.action_dim))
+        if bool(trunc):
+            truncated = True
+            break
+    assert truncated, "moving obstacle never caused a collision truncation"
+
+
+def test_static_scenarios_unaffected_by_velocity_default():
+    """Default config keeps obstacles static (obstacle_vel zero or unused)."""
+    core = rao.make_reach_ao_core("reachao1")
+    assert core.task.moving_obstacles is False
+    state, _ = jax.jit(core.reset)(jax.random.PRNGKey(0))
+    p0 = np.asarray(state.obstacle_pos[0])
+    s = state
+    step = jax.jit(core.step)
+    for _ in range(3):
+        s, *_ = step(s, jnp.zeros(core.robot.action_dim))
+    np.testing.assert_allclose(np.asarray(s.obstacle_pos[0]), p0, atol=1e-6)

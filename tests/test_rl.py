@@ -468,3 +468,68 @@ def test_trainer_classic_contact_task_smoke():
     tr.learn(seed=0)
     assert tr.timesteps >= 40
     assert any("rollout_success" in r for r in tr.metrics.history)
+
+
+def test_gsde_state_dependent_noise():
+    """True gSDE (reference presets: use_sde=True, log_std_init=-3,
+    hyperparameters.py:19-27): exploration noise is a deterministic function
+    of the state given the per-episode exploration matrix — same state =>
+    same action within an episode, different states => different noise —
+    and the actor carries the (latent_dim, act_dim) log_std parameter."""
+    import jax
+    import jax.numpy as jnp
+
+    from panda_gym_tpu.rl.config import Hyperparameters
+    from panda_gym_tpu.rl.learners import ckpt_uses_sde, make_learner
+
+    hp = Hyperparameters("TQC")
+    assert hp.use_sde is True
+    L = make_learner("TQC", 12, 4, hp)
+    ts = L.init(jax.random.PRNGKey(0))
+    assert ckpt_uses_sde(ts)
+    log_std = ts.actor_params["params"]["log_std_sde"]
+    assert log_std.shape == (256, 4)
+    np.testing.assert_allclose(np.asarray(log_std), -3.0)
+
+    x = jnp.linspace(-1, 1, 3 * 12).reshape(3, 12)
+    expl = L.sample_expl(ts, jax.random.PRNGKey(1), 3)
+    assert expl.shape == (3, 256, 4)
+    # same expl + same state -> identical action regardless of the step key
+    a1 = L.act(ts, x, jax.random.PRNGKey(2), expl=expl)
+    a2 = L.act(ts, x, jax.random.PRNGKey(99), expl=expl)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2))
+    # noise is nonzero and state-dependent
+    det = L.act(ts, x, jax.random.PRNGKey(2), deterministic=True)
+    noise = np.asarray(a1) - np.asarray(det)
+    assert np.abs(noise).max() > 1e-4
+    assert not np.allclose(noise[0], noise[1])
+    # update works with the SDE actor (reparameterized log-prob path)
+    batch = dict(x=jnp.ones((8, 12)), x2=jnp.ones((8, 12)),
+                 action=jnp.zeros((8, 4)), reward=jnp.zeros(8),
+                 terminated=jnp.zeros(8))
+    ts2, m = L.update(ts, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(m["critic_loss"])
+
+
+def test_legacy_ckpt_sde_alignment():
+    """Pre-gSDE checkpoints (legacy Gaussian actor under use_sde=True
+    configs) must keep loading: align_sde_with_ckpt flips hp.use_sde to
+    match the checkpoint's parameter tree."""
+    import jax
+
+    from panda_gym_tpu.rl.config import Hyperparameters
+    from panda_gym_tpu.rl.learners import align_sde_with_ckpt, make_learner
+
+    hp_old = Hyperparameters("TQC")
+    hp_old.use_sde = False  # how the legacy remap effectively built actors
+    L_old = make_learner("TQC", 12, 4, hp_old)
+    ts_old = L_old.init(jax.random.PRNGKey(0))
+
+    hp = Hyperparameters("TQC")
+    assert hp.use_sde is True
+    align_sde_with_ckpt(hp, ts_old)
+    assert hp.use_sde is False
+    L = make_learner("TQC", 12, 4, hp)
+    # the rebuilt learner can act with the old parameter tree
+    a = L.act(ts_old, jnp.ones((2, 12)), jax.random.PRNGKey(1))
+    assert a.shape == (2, 4)

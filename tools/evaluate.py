@@ -103,6 +103,10 @@ def main():
         speed_threshold=cfg.speed_thresholds[-1])
 
     if ts_list:
+        # pre-gSDE checkpoints carry the legacy Gaussian actor even under
+        # use_sde=True configs; align so the learner's param tree matches
+        from panda_gym_tpu.rl.learners import align_sde_with_ckpt
+        align_sde_with_ckpt(cfg.hyperparams, ts_list[0])
         probe = make_core("reachao1")
         import jax
         _, obs = jax.eval_shape(probe.reset, jax.random.PRNGKey(0))

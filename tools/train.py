@@ -35,12 +35,25 @@ def parse_args():
                    help="per-stage eval success to advance (default .9/.9/1)")
     p.add_argument("--max-ep-steps", nargs="+", type=int, default=[50, 75, 100])
     p.add_argument("--max-timesteps", type=int, default=600_000)
-    # NOTE: n_envs trades wall-clock throughput against sample efficiency:
-    # each rollout collects n_envs*horizon transitions before the next update
-    # burst, so very large batches make training effectively offline between
-    # policy improvements (measured: Reach@n_envs=64 hits 100% eval success
-    # by ~90k steps; n_envs=512 stalls near 0 at the same budget).
+    # Interleaved mode (default) runs one update burst after every vector
+    # env step, so large n_envs stays sample-efficient (the old
+    # collect-then-update loop made n_envs=512 effectively offline between
+    # policy improvements and it stalled near 0; see rl/train.py
+    # rollout_train).
     p.add_argument("--n-envs", type=int, default=64)
+    p.add_argument("--utd", type=float, default=None,
+                   help="updates per transition (default: SB3 TQC-preset "
+                        "ratio 0.125)")
+    p.add_argument("--update-batch-size", type=int, default=None,
+                   help="gradient batch size (default: preset batch_size "
+                        "256); raise with --utd lowered to trade gradient "
+                        "count for TPU throughput at large --n-envs")
+    p.add_argument("--no-interleave", action="store_true",
+                   help="legacy collect-then-update loop")
+    p.add_argument("--moving-obstacles", action="store_true",
+                   help="sample random obstacle velocities at reset; the "
+                        "engine integrates them per substep (reference "
+                        "reach_ao.py:104,997-1001,1091-1095)")
     p.add_argument("--learning-starts", type=int, default=10_000)
     p.add_argument("--reward-type", default="sparse",
                    choices=["sparse", "wang", "kumar_her", "kumar_optim",
@@ -130,6 +143,9 @@ def main():
         prior_steps=args.prior_steps,
         eval_freq=args.eval_freq, n_eval_episodes=args.n_eval_episodes,
         seed=args.seed,
+        utd=args.utd, update_batch_size=args.update_batch_size,
+        interleave_updates=not args.no_interleave,
+        randomize_obstacle_velocity=args.moving_obstacles,
     )
     if args.obs_max_distance is not None:
         cfg.task_observations = dict(cfg.task_observations,
