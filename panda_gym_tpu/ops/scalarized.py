@@ -509,9 +509,9 @@ def crba(mc: ModelConsts, q):
     return M
 
 
-def cholesky_solve(M, b, eps: float = 1e-9):
-    """Index-unrolled SPD solve over scalar entries (linalg.py semantics)."""
-    n = len(b)
+def cholesky_factor(M, eps: float = 1e-9):
+    """Index-unrolled Cholesky over scalar entries; returns (L, inv_diag)."""
+    n = len(M)
     L = [[None] * n for _ in range(n)]
     inv_diag = [None] * n
     for i in range(n):
@@ -524,6 +524,13 @@ def cholesky_solve(M, b, eps: float = 1e-9):
                 inv_diag[i] = 1.0 / L[i][j]
             else:
                 L[i][j] = mul(s, inv_diag[j])
+    return L, inv_diag
+
+
+def cholesky_substitute(Lfac, b):
+    """Forward+back substitution given cholesky_factor output."""
+    L, inv_diag = Lfac
+    n = len(b)
     y = [None] * n
     for i in range(n):
         s = b[i]
@@ -539,6 +546,11 @@ def cholesky_solve(M, b, eps: float = 1e-9):
     return x
 
 
+def cholesky_solve(M, b, eps: float = 1e-9):
+    """Index-unrolled SPD solve over scalar entries (linalg.py semantics)."""
+    return cholesky_substitute(cholesky_factor(M, eps), b)
+
+
 # ---------------------------------------------------------------------------
 # motor substep (dynamics.py:motor_substep, component form)
 # ---------------------------------------------------------------------------
@@ -551,7 +563,11 @@ CTRL_VELOCITY = 1
 def motor_substep(mc: ModelConsts, q, qd, target, dt: float, control_mode: int,
                   position_gain: float = POSITION_GAIN, tau_ext=None):
     """One semi-implicit Euler substep with PyBullet motor semantics over
-    component lists; numerically identical to dynamics.py:motor_substep."""
+    component lists; numerically identical to dynamics.py:motor_substep
+    (coupled motor box-LCP solved exactly by a masked active-set method —
+    see dynamics.py for the golden values that pin this down)."""
+    from panda_gym_tpu.ops.dynamics import MOTOR_LCP_ITERS
+
     ndof = mc.ndof
     inv_dt = 1.0 / dt
     if control_mode == CTRL_POSITION:
@@ -559,27 +575,57 @@ def motor_substep(mc: ModelConsts, q, qd, target, dt: float, control_mode: int,
                  for d in range(ndof)]
     else:
         v_des = list(target)
+    # Bullet maxCoordinateVelocity clamp (mc.vel_limit = 100 rad/s default)
     v_des = [jnp.clip(v_des[d], -mc.vel_limit[d], mc.vel_limit[d])
              for d in range(ndof)]
 
-    qdd_des = [mul(inv_dt, sub(v_des[d], qd[d])) for d in range(ndof)]
     bias = rnea(mc, q, qd, [0.0] * ndof)
     M = crba(mc, q)
     if tau_ext is None:
         tau_ext = [0.0] * ndof
-    rhs_servo = [None] * ndof
-    for i in range(ndof):
-        s = sub(bias[i], tau_ext[i])
-        for j in range(ndof):
-            s = add(s, mul(M[i][j], qdd_des[j]))
-        rhs_servo[i] = s
-    tau_c = [jnp.clip(rhs_servo[d], -mc.effort[d], mc.effort[d])
-             for d in range(ndof)]
 
-    rhs = [add(sub(tau_c[d], bias[d]), tau_ext[d]) for d in range(ndof)]
-    qdd = cholesky_solve(M, rhs)
+    # free velocity: one substep under bias/external forces, motors off
+    fv = cholesky_solve(M, [sub(tau_ext[i], bias[i]) for i in range(ndof)])
+    qd_free = [add(qd[d], mul(dt, fv[d])) for d in range(ndof)]
+    cap = [mul(dt, mc.effort[d]) for d in range(ndof)]
 
-    qd_new = [add(qd[d], mul(dt, qdd[d])) for d in range(ndof)]
+    def matvec(vec):
+        out = []
+        for i in range(ndof):
+            s = 0.0
+            for j in range(ndof):
+                s = add(s, mul(M[i][j], vec[j]))
+            out.append(s)
+        return out
+
+    Mqf = matvec(qd_free)
+    # unconstrained pass: impulse needed for every motor to hit v_des
+    Mv = matvec(v_des)
+    x = [sub(Mv[i], Mqf[i]) for i in range(ndof)]
+    sat = [jnp.abs(x[i]) > cap[i] for i in range(ndof)]
+    c = [jnp.clip(x[i], -cap[i], cap[i]) for i in range(ndof)]
+    u = list(v_des)
+    for _ in range(MOTOR_LCP_ITERS):
+        # rows S (saturated): M_SS u_S = c_S + (M qd_free)_S - M_SF v_des_F
+        # rows F (free):      u_F = v_des_F
+        A = [[jnp.where(sat[i] & sat[j], M[i][j],
+                        1.0 if i == j else 0.0)
+              for j in range(ndof)] for i in range(ndof)]
+        mvf = matvec([jnp.where(sat[j], 0.0, v_des[j])
+                      for j in range(ndof)])
+        rhs = [jnp.where(sat[i], sub(add(c[i], Mqf[i]), mvf[i]), v_des[i])
+               for i in range(ndof)]
+        u = cholesky_solve(A, rhs)
+        Mu = matvec(u)
+        x = [sub(Mu[i], Mqf[i]) for i in range(ndof)]
+        # saturated stays iff deficit still pushes into the cap; free joints
+        # whose required impulse exceeds the cap saturate
+        sat = [(sat[i] & (mul(sub(v_des[i], u[i]), c[i]) >= 0.0))
+               | ((~sat[i]) & (jnp.abs(x[i]) > cap[i]))
+               for i in range(ndof)]
+        c = [jnp.clip(x[i], -cap[i], cap[i]) for i in range(ndof)]
+
+    qd_new = list(u)
     q_new = [add(q[d], mul(dt, qd_new[d])) for d in range(ndof)]
     q_cl = [jnp.clip(q_new[d], mc.q_lo[d], mc.q_hi[d]) for d in range(ndof)]
     qd_out = [jnp.where(q_cl[d] != q_new[d], 0.0, qd_new[d])

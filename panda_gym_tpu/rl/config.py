@@ -123,6 +123,12 @@ class TrainConfig:
     interleave_updates: bool = True
     utd: Optional[float] = None
     update_batch_size: Optional[int] = None
+    # full-training-state checkpoint cadence in env steps (0 = off): learner
+    # + replay buffer + PRNG key + stage/step counters via orbax, written to
+    # <run_dir>/full_state/ — kill-and-resume reproduces the uninterrupted
+    # run exactly (SURVEY §5.3; the reference has no analogue, its resume is
+    # manual best_model.zip reloading, setup_training.py:383-422).
+    full_ckpt_freq: int = 0
 
     # environment settings
     env_name: str = "PandaReachAO-v3"

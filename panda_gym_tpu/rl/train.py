@@ -266,18 +266,26 @@ class Trainer:
         self.buffer = None
         self.timesteps = 0
         self._best_eval_success = -1.0
+        self._stage_index = 0
+        self._resume = None       # pending full-state payload (load_full)
 
     # -------------------------------------------------------------- stages
     def learn(self, seed: Optional[int] = None):
         cfg = self.config
         key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
         n_stages = len(cfg.stages)
+        # full-state resume: skip completed stages but keep the key-split
+        # sequence identical to the uninterrupted run's
+        start_stage = self._resume["stage_index"] if self._resume else 0
         for i, stage in enumerate(cfg.stages):
             ee_thr = cfg.ee_error_thresholds[i]
             sp_thr = cfg.speed_thresholds[i] if cfg.goal_condition == "halt" else 0.5
             horizon = cfg.max_ep_steps[min(i, len(cfg.max_ep_steps) - 1)]
             succ_thr = cfg.success_thresholds[i]
             key, k = jax.random.split(key)
+            if i < start_stage:
+                continue
+            self._stage_index = i
             reached = self.train_stage(stage, horizon, ee_thr, sp_thr,
                                        succ_thr, k,
                                        final=(i == n_stages - 1))
@@ -409,6 +417,30 @@ class Trainer:
 
         stage_steps = 0
         learning_started = False
+        if self._resume is not None:
+            # restore mid-stage position: counters, loop PRNG key, learner
+            # and buffer leaves grafted onto the freshly built templates
+            r, self._resume = self._resume, None
+            stage_steps = int(r["stage_steps"])
+            learning_started = bool(r["learning_started"])
+            self._best_eval_success = float(r["best_eval_success"])
+            key = jnp.asarray(np.asarray(r["key"]), jnp.uint32)
+
+            def unpack(vals, meta):
+                # zero-size leaves were stored as (shape, dtype) metadata
+                # (orbax cannot serialise empty arrays)
+                return [jnp.zeros(m[0], dtype=m[1]) if v is None
+                        else jnp.asarray(v)
+                        for v, m in zip(vals, meta)]
+
+            self.ts = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(self.ts),
+                unpack(r["ts_leaves"], r["ts_meta"]))
+            if r.get("buffer_leaves") is not None:
+                self.buffer = jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(self.buffer),
+                    unpack(r["buffer_leaves"], r["buffer_meta"]))
+        full_freq = getattr(cfg, "full_ckpt_freq", 0)
         t_start = time.time()
         while stage_steps < cfg.max_timesteps:
             key, k_c = jax.random.split(key)
@@ -484,7 +516,70 @@ class Trainer:
                                                f"best_model_{scene}.ckpt"))
                 if sr >= success_threshold and not final:
                     return True
+
+            # periodic full-training-state checkpoint (SURVEY §5.3): at the
+            # end of a loop iteration, so resume continues with exactly the
+            # next rollout the uninterrupted run would have collected
+            if full_freq and stage_steps % full_freq < rollout_steps:
+                run_dir = getattr(self.logger, "dir", None)
+                if run_dir:
+                    self._write_full_state(run_dir, stage_steps,
+                                           learning_started, key)
         return False
+
+    def _write_full_state(self, run_dir: str, stage_steps: int,
+                          learning_started: bool, key) -> str:
+        """Write learner + buffer + PRNG key + counters via the orbax
+        CheckpointManager (rolling, keep=2) — everything needed for
+        kill-and-resume to reproduce the uninterrupted run bit-exactly."""
+        from panda_gym_tpu.rl.checkpoint import CheckpointManager
+        mgr = CheckpointManager(os.path.join(run_dir, "full_state"), keep=2)
+
+        def pack(tree):
+            # orbax rejects zero-size arrays (e.g. the buffer's aux field
+            # with aux_dim 0); store their shape/dtype instead
+            leaves = jax.tree_util.tree_leaves(tree)
+            vals = [None if x.size == 0 else jax.device_get(x)
+                    for x in leaves]
+            meta = [[list(x.shape), str(x.dtype)] if x.size == 0 else None
+                    for x in leaves]
+            return vals, meta
+
+        ts_leaves, ts_meta = pack(self.ts)
+        buf_leaves, buf_meta = (None, None) if self.buffer is None \
+            else pack(self.buffer)
+        payload = {
+            "algorithm": self.config.algorithm,
+            "timesteps": self.timesteps,
+            "stage_index": self._stage_index,
+            "stage_steps": stage_steps,
+            "learning_started": learning_started,
+            "best_eval_success": self._best_eval_success,
+            "key": jax.device_get(key),
+            "ts_leaves": ts_leaves, "ts_meta": ts_meta,
+            "buffer_leaves": buf_leaves, "buffer_meta": buf_meta,
+        }
+        return mgr.save(self.timesteps, payload)
+
+    def load_full(self, path: str):
+        """Resume from a full-state checkpoint directory written by
+        _write_full_state (tools/train.py --resume-full).  learn() then
+        skips to the saved stage and continues mid-stage.  Limitations:
+        final-stage per-scene bench_best high-water marks are not captured
+        (best_model_<scene>.ckpt snapshots may re-save)."""
+        from panda_gym_tpu.rl.checkpoint import load_checkpoint
+        # accept either a specific ckpt_<step> dir or the full_state root
+        entries = [d for d in os.listdir(path) if d.startswith("ckpt_")]
+        if entries:
+            _, best = max((int(d.split("_")[1]), d) for d in entries)
+            path = os.path.join(path, best)
+        payload = load_checkpoint(path)
+        if payload.get("algorithm") != self.config.algorithm:
+            raise ValueError(
+                f"checkpoint algorithm {payload.get('algorithm')!r} != "
+                f"config {self.config.algorithm!r}")
+        self.timesteps = int(payload["timesteps"])
+        self._resume = payload
 
     def _reward_fn(self, core):
         task = core.task

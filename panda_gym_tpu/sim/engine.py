@@ -274,9 +274,12 @@ def make_physics_step(
     moving_obstacles: bool = False,
     timestep: float = TIMESTEP,
     gravity: Tuple[float, float, float] = (0.0, 0.0, -9.81),
+    effort=None,
 ):
     """Build the jit-able physics step: n_substeps of `timestep` (pybullet
-    dt semantics, pybullet.py:63-71; defaults 20 x 1/500 s)."""
+    dt semantics, pybullet.py:63-71; defaults 20 x 1/500 s).  `effort`
+    optionally overrides the per-joint motor force clamp (the facade's
+    control_joints forces argument, pybullet.py:437-463)."""
     dt = timestep
     grav = jnp.asarray(gravity)
     nb = scene.nb
@@ -349,7 +352,7 @@ def make_physics_step(
         # robot substep
         q, qd = D.motor_substep(
             model, state.q, state.qd, state.ctrl_target, dt, ctrl_mode,
-            gravity=gravity, tau_ext=tau_ext)
+            gravity=gravity, tau_ext=tau_ext, effort=effort)
 
         new_state = state.replace(
             q=q, qd=qd, body_pos=body_pos, body_quat=body_quat,

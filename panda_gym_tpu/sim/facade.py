@@ -69,6 +69,7 @@ class Simulation:
         self._q = np.zeros(0)
         self._qd = np.zeros(0)
         self._ctrl_target = np.zeros(0)
+        self._ctrl_force = np.zeros(0)   # per-joint motor force clamps
         self._saved: Dict[int, EnvState] = {}
         self._next_state_id = 0
         self._debug_texts: Dict[str, dict] = {}
@@ -86,10 +87,14 @@ class Simulation:
     # ------------------------------------------------------------- robots
     def load_robot(self, base_position=(0.0, 0.0, 0.0),
                    body_name: str = "robot", gripper: str = "welded",
-                   control_mode: str = "position") -> str:
+                   control_mode: str = "position",
+                   inertia: str = "custom") -> str:
         """Load the Panda chain (replaces loadURDF of the robot URDF,
-        pybullet.py:518-525 + core.py:54-68 _load_robot)."""
-        model = make_panda_model(base_position=base_position, gripper=gripper)
+        pybullet.py:518-525 + core.py:54-68 _load_robot).  inertia="stock"
+        loads the pybullet_data mesh-URDF mass distribution (what the
+        reference's golden tests simulate, test/pybullet_test.py:100-266)."""
+        model = make_panda_model(base_position=base_position, gripper=gripper,
+                                 inertia=inertia)
         self._robot_model = model
         self._robot_name = body_name
         self._ctrl_mode = (D.CTRL_VELOCITY if control_mode == "velocity"
@@ -97,6 +102,7 @@ class Simulation:
         self._q = np.zeros(model.ndof)
         self._qd = np.zeros(model.ndof)
         self._ctrl_target = np.zeros(model.ndof)
+        self._ctrl_force = np.array(model.effort, dtype=float)
         self._bodies_idx[body_name] = dict(kind="robot")
         self._invalidate()
         return body_name
@@ -263,6 +269,8 @@ class Simulation:
             has_bodies=len(dyn) > 0,
             timestep=self.timestep,
             gravity=self.gravity,
+            effort=jnp.asarray(self._ctrl_force, jnp.float32)
+            if self._ctrl_force.size else None,
         ))
         no = max(len(obs), 0)
         nb = scene.nb
@@ -524,9 +532,21 @@ class Simulation:
     def control_joints(self, body_name: str, joints, target_angles,
                        forces=None, control_mode: Optional[str] = None) -> None:
         """pybullet.py:437-463 setJointMotorControlArray: POSITION targets or
-        VELOCITY targets per the facade's control mode; force clamps are the
-        model's effort limits (already encoded in the chain)."""
+        VELOCITY targets per the facade's control mode.  `forces` are the
+        per-joint motor force clamps (default: the model's URDF efforts);
+        changing a clamp rebuilds the compiled step (it is a trace-time
+        constant), preserving live poses via _pull_robot."""
         from panda_gym_tpu.models.chain import pybullet_dof_index
+        if forces is not None:
+            changed = False
+            for j, fc in zip(np.asarray(joints), np.asarray(forces)):
+                i = pybullet_dof_index(len(self._ctrl_target), int(j))
+                if i >= 0 and self._ctrl_force[i] != float(fc):
+                    self._ctrl_force[i] = float(fc)
+                    changed = True
+            if changed and self._state is not None:
+                self._pull_robot()
+                self._invalidate()
         for j, t in zip(np.asarray(joints), np.asarray(target_angles)):
             i = pybullet_dof_index(len(self._ctrl_target), int(j))
             if i >= 0:

@@ -59,8 +59,10 @@ def load_obj_vertices(path):
     return np.asarray(verts)
 
 
-def boxes_from_urdf(urdf_path, base_position, global_scaling=1.0):
-    """PyBullet loadURDF semantics: globalScaling multiplies joint origins,
+def pointsets_from_urdf(urdf_path, base_position, global_scaling=1.0):
+    """World-frame collision point clouds, one per <collision> geometry.
+
+    PyBullet loadURDF semantics: globalScaling multiplies joint origins,
     collision origins, and geometry dimensions, but NOT basePosition
     (pybullet.py:518-525 passes the manifest's globalScaling straight to
     loadURDF)."""
@@ -122,12 +124,55 @@ def boxes_from_urdf(urdf_path, base_position, global_scaling=1.0):
                 pts = gp + (corners * np.array([r, r, l / 2])) @ gR.T
             else:
                 continue
-            lo = pts.min(axis=0) + np.asarray(base_position)
-            hi = pts.max(axis=0) + np.asarray(base_position)
-            center = (lo + hi) / 2
-            half = (hi - lo) / 2
-            out.append([*np.round(center, 5).tolist(), *np.round(half, 5).tolist()])
+            out.append(pts + np.asarray(base_position))
     return out
+
+
+def boxes_from_urdf(urdf_path, base_position, global_scaling=1.0):
+    """World AABB per collision geometry: [cx, cy, cz, hx, hy, hz]."""
+    out = []
+    for pts in pointsets_from_urdf(urdf_path, base_position, global_scaling):
+        lo, hi = pts.min(axis=0), pts.max(axis=0)
+        center = (lo + hi) / 2
+        half = (hi - lo) / 2
+        out.append([*np.round(center, 5).tolist(), *np.round(half, 5).tolist()])
+    return out
+
+
+def aabb_deviation(pts) -> float:
+    """Max phantom-collision distance of the AABB vs the source geometry:
+    how far an AABB corner sticks out of the convex hull of the collision
+    points.  Exactly 0 when the geometry already is an axis-aligned box
+    (every AABB corner coincides with a source vertex) — the common case
+    here, where the scenario meshes are 8-vertex cuboids (VERDICT r2 #9:
+    a rotated collision origin would inflate the AABB; this quantifies it).
+    """
+    pts = np.asarray(pts, dtype=np.float64)
+    lo, hi = pts.min(axis=0), pts.max(axis=0)
+    corners = np.array([[x, y, z] for x in (lo[0], hi[0])
+                        for y in (lo[1], hi[1]) for z in (lo[2], hi[2])])
+    # fast path: every AABB corner is (numerically) a source point
+    d2near = ((corners[:, None, :] - pts[None, :, :]) ** 2).sum(-1).min(1)
+    if float(d2near.max()) < 1e-10:
+        return 0.0
+    # general: Euclidean distance from each corner to the convex hull,
+    # via projection onto the hull's halfspace intersection (scipy)
+    from scipy.optimize import minimize
+    from scipy.spatial import ConvexHull
+    try:
+        hull = ConvexHull(pts)
+    except Exception:  # degenerate (planar) clouds: fall back to the bound
+        return float(np.sqrt(d2near.max()))
+    A, b = hull.equations[:, :3], -hull.equations[:, 3]
+    worst = 0.0
+    for cpt in corners:
+        if (A @ cpt <= b + 1e-9).all():
+            continue  # corner inside the hull
+        res = minimize(lambda x: ((x - cpt) ** 2).sum(), x0=pts.mean(0),
+                       constraints=[{"type": "ineq",
+                                     "fun": lambda x: b - A @ x}])
+        worst = max(worst, float(np.linalg.norm(res.x - cpt)))
+    return worst
 
 
 def compile_scenario(scenario_dir):
@@ -147,6 +192,27 @@ def compile_scenario(scenario_dir):
             continue
         boxes.extend(boxes_from_urdf(urdf, base, global_scaling=gs))
     return boxes
+
+
+def scenario_pointsets(scenario_dir):
+    """World-frame collision point clouds for every body of a scenario
+    (None if the dir has no manifest) — the raw geometry the compiled AABB
+    table approximates; consumed by aabb_deviation."""
+    name = os.path.basename(scenario_dir)
+    manifest = os.path.join(scenario_dir, f"{name}.json")
+    if not os.path.exists(manifest):
+        return None
+    with open(manifest) as f:
+        bodies = json.load(f)
+    sets = []
+    for body_name, spec in bodies.items():
+        urdf = os.path.join(scenario_dir, "urdf", spec["fileName"])
+        if not os.path.exists(urdf):
+            continue
+        sets.extend(pointsets_from_urdf(
+            urdf, spec.get("basePosition", [0, 0, 0]),
+            float(spec.get("globalScaling", 1.0))))
+    return sets
 
 
 def main():

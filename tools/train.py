@@ -83,6 +83,13 @@ def parse_args():
                    help="also log to Weights & Biases if available")
     p.add_argument("--resume", default=None,
                    help="checkpoint path to resume the learner from")
+    p.add_argument("--resume-full", default=None,
+                   help="full-state checkpoint dir (<run>/full_state) to "
+                        "resume mid-stage bit-exactly: learner + buffer + "
+                        "PRNG key + stage/step counters")
+    p.add_argument("--full-ckpt-freq", type=int, default=0,
+                   help="write a rolling full-state checkpoint every N env "
+                        "steps (0 = off)")
     p.add_argument("--benchmark", action="store_true",
                    help="run the 13-scenario benchmark after training")
     p.add_argument("--benchmark-episodes", type=int, default=100)
@@ -146,6 +153,7 @@ def main():
         utd=args.utd, update_batch_size=args.update_batch_size,
         interleave_updates=not args.no_interleave,
         randomize_obstacle_velocity=args.moving_obstacles,
+        full_ckpt_freq=args.full_ckpt_freq,
     )
     if args.obs_max_distance is not None:
         cfg.task_observations = dict(cfg.task_observations,
@@ -165,6 +173,11 @@ def main():
     if args.resume:
         trainer.load(args.resume, restore_buffer=not args.no_resume_buffer)
         print(f"resumed learner from {args.resume}")
+    if args.resume_full:
+        trainer.load_full(args.resume_full)
+        print(f"resumed full training state from {args.resume_full} "
+              f"(stage {trainer._resume['stage_index']}, "
+              f"{trainer.timesteps} steps)")
 
     trainer.learn(seed=args.seed)
     final = os.path.join(logger.dir, "final.ckpt")
