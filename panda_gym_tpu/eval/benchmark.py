@@ -39,18 +39,22 @@ def _member_actions(learner, ts_list, x, key, deterministic=True):
     return jnp.stack(means), jnp.stack(stds)
 
 
-def perform_benchmark(
+# compiled-run cache: checkpoints enter the compiled program as ARGUMENTS,
+# so benchmarking N same-architecture checkpoints over one scenario core
+# compiles once and executes N times (a 13-run x 13-scene campaign pass
+# drops from 169 scenario compiles to 13; see tools/benchmark_pool.py)
+_RUN_CACHE: Dict = {}
+
+
+def _build_run(
     learner,
-    ts_list: Sequence,
     core,
-    n_episodes: int = 100,
-    horizon: int = 300,
-    strategy: Optional[str] = None,
-    prior_sigma: float = 0.3,
-    seed: int = 0,
-) -> Dict[str, float]:
-    """Batched evaluation; returns the reference's results schema
-    (evaluate.py:286-300)."""
+    n_episodes: int,
+    horizon: int,
+    strategy: Optional[str],
+    prior_sigma: float,
+    n_members: int,
+):
     model = core.model
     ee_site = core.robot.ee_site
     n_arm = 7
@@ -63,7 +67,7 @@ def perform_benchmark(
         # (panda.py:129-133); per-joint clipping here would distort direction
         return compute_action_neo(model, ee_site, state, fk, state.goal)
 
-    def policy(states, obs, key):
+    def policy(states, obs, key, ts_list):
         x = flat_x(obs)
         if ts_list:
             means, stds = _member_actions(learner, list(ts_list), x, key)
@@ -92,10 +96,10 @@ def perform_benchmark(
             raise ValueError(f"unknown strategy {strategy}")
         return act
 
-    def step_fn(carry, _):
+    def step_fn(carry, _, ts_list):
         states, obs, done, ep_len, key = carry
         key, k_act = jax.random.split(key)
-        action = policy(states, obs, k_act)
+        action = policy(states, obs, k_act, ts_list)
         nstates, nobs, reward, term, trunc, info = core.batched_step(
             states, action)
         keep = lambda old, new: jnp.where(
@@ -122,7 +126,7 @@ def perform_benchmark(
         return (states, obs, done, ep_len, key), metrics
 
     @jax.jit
-    def run(key):
+    def run(key, ts_list):
         # independent fold for resets: split(key, 2)[:2] equals the first
         # entries of split(key, n), so carrying `key` into the action scan
         # while also using split(key, n) for resets would replay reset keys
@@ -133,10 +137,35 @@ def perform_benchmark(
         done0 = jnp.zeros(n_episodes, bool)
         len0 = jnp.zeros(n_episodes, jnp.int32)
         (states, obs, done, ep_len, _), m = jax.lax.scan(
-            step_fn, (states, obs, done0, len0, key), None, length=horizon)
+            lambda c, x: step_fn(c, x, ts_list),
+            (states, obs, done0, len0, key), None, length=horizon)
         return done, ep_len, m
 
-    done, ep_len, m = run(jax.random.PRNGKey(seed))
+    return run
+
+
+def perform_benchmark(
+    learner,
+    ts_list: Sequence,
+    core,
+    n_episodes: int = 100,
+    horizon: int = 300,
+    strategy: Optional[str] = None,
+    prior_sigma: float = 0.3,
+    seed: int = 0,
+) -> Dict[str, float]:
+    """Batched evaluation; returns the reference's results schema
+    (evaluate.py:286-300).  Checkpoint params are inputs to a cached
+    compiled program: same (core, learner, shapes) -> no recompile."""
+    ck = (id(core), id(learner), n_episodes, horizon, strategy,
+          prior_sigma, len(ts_list))
+    ent = _RUN_CACHE.get(ck)
+    if ent is None or ent[0] is not core or ent[1] is not learner:
+        _RUN_CACHE[ck] = (core, learner,
+                          _build_run(learner, core, n_episodes, horizon,
+                                     strategy, prior_sigma, len(ts_list)))
+    run = _RUN_CACHE[ck][2]
+    done, ep_len, m = run(jax.random.PRNGKey(seed), list(ts_list))
     m = jax.device_get(m)
     done = np.asarray(done)
     ep_len = np.asarray(ep_len)

@@ -14,3 +14,14 @@ if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", "
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache: recompiling the physics configurations
+# dominates suite runtime (VERDICT r2: full suite >30 min cold); with the
+# cache, repeat runs skip every unchanged compile.  Machine-specific AOT
+# artifacts — keep the cache local (gitignored), never commit it.
+_cache_dir = os.environ.get("PANDA_GYM_TPU_TEST_CACHE",
+                            os.path.join(os.path.dirname(__file__), "..",
+                                         ".pytest_jax_cache"))
+if _cache_dir != "off":
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

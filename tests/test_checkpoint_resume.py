@@ -17,6 +17,9 @@ from panda_gym_tpu.envs.panda_tasks import make_reach_core
 from panda_gym_tpu.rl.config import TrainConfig
 from panda_gym_tpu.rl.train import Trainer
 
+# slow tier: two full Trainer runs (~6 min)
+pytestmark = pytest.mark.slow
+
 
 class _DirLogger:
     """Minimal logger exposing the run dir (what Trainer keys off)."""

@@ -161,6 +161,7 @@ def test_joint_limit_clamp(model):
     assert (np.asarray(q2) <= np.asarray(model.q_hi) + 1e-6).all()
 
 
+@pytest.mark.slow
 def test_scalarized_batched_matches_per_env(model):
     """Batch-last scalarized motor dynamics (ops/scalarized.py) must be
     numerically equivalent to the per-env Featherstone path over a full
@@ -192,6 +193,7 @@ def test_scalarized_batched_matches_per_env(model):
     np.testing.assert_allclose(np.asarray(qd1), np.asarray(qd2), atol=2e-3)
 
 
+@pytest.mark.slow
 def test_batched_step_matches_vmap_step():
     """core.batched_step (batch-native physics) vs vmap(core.step)."""
     from panda_gym_tpu.envs.panda_tasks import make_reach_core
@@ -213,6 +215,7 @@ def test_batched_step_matches_vmap_step():
         states = s2
 
 
+@pytest.mark.slow
 def test_batched_contact_step_matches_vmap_step():
     """Batched contact physics (ops/scalarized_contact.py) vs vmap(core.step)
     on a free-body task: forces, J^T reaction, and body integration must all
@@ -236,6 +239,7 @@ def test_batched_contact_step_matches_vmap_step():
         states = s2
 
 
+@pytest.mark.slow
 def test_batched_ee_ik_matches_vmap_step():
     """Batched DLS-IK set_action (ops/scalarized.py:dls_ik_batched) vs the
     vmap'd per-env path for "ee" control — the IK targets and resulting
@@ -260,6 +264,7 @@ def test_batched_ee_ik_matches_vmap_step():
         states = s2
 
 
+@pytest.mark.slow
 def test_pallas_kernel_matches_scalarized(model):
     """The Pallas motor kernel (interpret mode on CPU) must reproduce the
     scalarized batched path it wraps."""

@@ -11,6 +11,9 @@ import pytest
 import panda_gym_tpu
 from panda_gym_tpu.envs import panda_tasks
 
+# slow tier: random-rollout conformance compiles every registered env family
+pytestmark = pytest.mark.slow
+
 ENV_IDS = [
     "PandaReach-v3", "PandaReachDense-v3", "PandaReachJoints-v3",
     "PandaReachChecker-v3",

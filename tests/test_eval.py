@@ -98,6 +98,7 @@ def test_interact_rows_and_policies():
         assert np.isfinite(row["ee_error"])
 
 
+@pytest.mark.slow
 def test_perform_benchmark_schema():
     """perform_benchmark returns the reference's results schema
     (evaluate.py:286-300)."""
@@ -126,6 +127,7 @@ def test_perform_benchmark_schema():
 
 @pytest.mark.parametrize("strategy,n_members",
                          [("prior", 0), ("bcf", 1), ("bayesian_fusion", 2)])
+@pytest.mark.slow
 def test_perform_benchmark_strategies(strategy, n_members):
     """Prior / BCF controller fusion and ensemble fusion run end-to-end
     (evaluate.py:174-211 strategy dispatch, fuse_controllers :33-40,

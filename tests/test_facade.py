@@ -11,6 +11,9 @@ import pytest
 
 from panda_gym_tpu.sim.facade import Simulation
 
+# slow tier: every test compiles its own facade physics configuration (~6 min total)
+pytestmark = pytest.mark.slow
+
 NEUTRAL = [0.0, -0.3, 0.0, -2.2, 0.0, 2.0, 0.785]
 
 

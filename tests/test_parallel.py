@@ -13,6 +13,9 @@ import pytest
 from panda_gym_tpu.parallel.mesh import (env_sharding, make_env_mesh,
                                          shard_env_batch)
 
+# slow tier: sharded Trainer runs on the 8-device mesh
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def mesh():

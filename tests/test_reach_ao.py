@@ -7,6 +7,9 @@ import pytest
 from panda_gym_tpu.envs.tasks import reach_ao as rao
 from panda_gym_tpu.rl.config import TrainConfig
 
+# slow tier: each scenario variant compiles its own collision physics
+pytestmark = pytest.mark.slow
+
 ALL_SCENARIOS = [
     "reach1", "reach2", "reach3", "reachao1", "reachao2", "reachao3",
     "reachao_rand", "reachao_rand_start", "reachao_rand_shape",

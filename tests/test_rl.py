@@ -132,6 +132,7 @@ def test_ensemble_fusion():
     np.testing.assert_allclose(np.asarray(mu), [0.5, 0.5])
 
 
+@pytest.mark.slow
 def test_trainer_smoke():
     """Tiny end-to-end Trainer run (2 rollouts, Reach)."""
     from panda_gym_tpu.rl.config import TrainConfig
@@ -154,6 +155,7 @@ def test_trainer_smoke():
     assert any("rollout_success" in r for r in tr.metrics.history)
 
 
+@pytest.mark.slow
 def test_trainer_save_resume(tmp_path):
     """Full checkpoint-resume: learner + buffer + step counter survive a
     save/load round trip and training continues (continue_learning,
@@ -445,6 +447,7 @@ def test_run_config_roundtrips_net_arch(tmp_path):
     assert cfg3.hyperparams.policy_kwargs["net_arch"] == [256, 256]
 
 
+@pytest.mark.slow
 def test_trainer_classic_contact_task_smoke():
     """Trainer over a contact task (Push) — the tools/train_classic.py path:
     HER relabeling through _GoalTask.reward_from_aux with object physics in

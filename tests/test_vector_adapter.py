@@ -5,6 +5,9 @@ import pytest
 
 import panda_gym_tpu
 
+# slow tier: gym vector adapter compiles the batched step
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def venv():

@@ -14,6 +14,10 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
+from panda_gym_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
+
 import jax
 import jax.numpy as jnp
 

@@ -21,6 +21,10 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
+from panda_gym_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
+
 
 def main():
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
