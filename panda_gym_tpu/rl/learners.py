@@ -384,6 +384,11 @@ def make_learner(algorithm: str, obs_dim: int, act_dim: int, hp):
     reference ships a preset for, hyperparameters.py:55-70, but never wires
     into its dispatch)."""
     if algorithm == "PPO":
+        # on-policy: consumed by rl/ppo.py::train_ppo's rollout dict, NOT by
+        # the off-policy Trainer/HER pipeline (which the reference also
+        # never wires PPO into, setup_training.py:100-115) — Trainer
+        # rejects it in _ensure_learner rather than feeding it replay
+        # batches it cannot consume
         from panda_gym_tpu.rl.ppo import PPOLearner
         return PPOLearner(obs_dim, act_dim, hp)
     algos = {"SAC": SACLearner, "TQC": TQCLearner, "TQC_v2": TQCLearner,

@@ -300,6 +300,12 @@ class Trainer:
 
     def _ensure_learner(self, venv: VectorEnv, key):
         cfg = self.config
+        if cfg.algorithm == "PPO":
+            raise ValueError(
+                "PPO is on-policy: use rl/ppo.py::train_ppo (the off-policy "
+                "Trainer would feed it HER replay batches it cannot "
+                "consume; the reference never wires PPO into its dispatch "
+                "either, setup_training.py:100-115)")
         if self.learner is None:
             self.learner = make_learner(cfg.algorithm, venv.x_dim,
                                         venv.act_dim, cfg.hyperparams)

@@ -21,6 +21,12 @@ def enable_compile_cache(path: str | None = None) -> str | None:
     env = os.environ.get("PANDA_GYM_TPU_CACHE")
     if env == "off":
         return None
+    # the axon TPU tunnel proxies compilation to a remote server; persisted
+    # AOT executables cannot be re-loaded through it (measured: cache
+    # lookups stall the first compile instead of skipping it).  Only the
+    # in-process CPU backend benefits.
+    if env is None and jax.default_backend() != "cpu":
+        return None
     path = env or path or os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))), ".jax_cache")

@@ -28,6 +28,9 @@ enable_compile_cache()
 
 
 def main():
+    import faulthandler
+    import signal
+    faulthandler.register(signal.SIGUSR1)   # stack dump, not kill
     p = argparse.ArgumentParser()
     p.add_argument("runs", nargs="+", help="run dirs")
     p.add_argument("--episodes", type=int, default=100)

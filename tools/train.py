@@ -53,7 +53,12 @@ def parse_args():
                         "256); raise with --utd lowered to trade gradient "
                         "count for TPU throughput at large --n-envs")
     p.add_argument("--no-interleave", action="store_true",
-                   help="legacy collect-then-update loop")
+                   help="collect-then-update loop instead of interleaved "
+                        "bursts. Use for FINE-TUNES with a fresh replay "
+                        "buffer: interleaved high-UTD updates on a tiny "
+                        "fresh buffer were observed to collapse a resumed "
+                        "policy (eval 0.61->0.26 within 40k steps) while "
+                        "the collect-then-update loop is stable")
     p.add_argument("--moving-obstacles", action="store_true",
                    help="sample random obstacle velocities at reset; the "
                         "engine integrates them per substep (reference "
