@@ -121,6 +121,10 @@ class TrainConfig:
     # overrides the algorithm preset's batch_size (fewer, larger updates
     # trade gradient count for TPU throughput).
     interleave_updates: bool = True
+    # interleaved bursts only fire once the replay buffer holds this many
+    # transitions (None -> max(2*learning_starts, 20k)); guards resumed
+    # policies against high-UTD updates on a near-empty fresh buffer
+    interleave_min_buffer: Optional[int] = None
     utd: Optional[float] = None
     update_batch_size: Optional[int] = None
     # full-training-state checkpoint cadence in env steps (0 = off): learner

@@ -367,6 +367,56 @@ class Trainer:
 
         reward_fn = self._reward_fn(core)
 
+        stage_steps = 0
+        learning_started = False
+        if self._resume is not None:
+            # restore mid-stage position FIRST (before the prior bootstrap —
+            # ADVICE r3: bootstrapping onto the template buffer and then
+            # overwriting it with the restored one wasted whole rollouts):
+            # counters, loop PRNG key, learner and buffer leaves grafted
+            # onto the freshly built templates
+            r, self._resume = self._resume, None
+            stage_steps = int(r["stage_steps"])
+            learning_started = bool(r["learning_started"])
+            self._best_eval_success = float(r["best_eval_success"])
+            key = jnp.asarray(np.asarray(r["key"]), jnp.uint32)
+
+            def unpack(vals, meta, template, what):
+                # zero-size leaves were stored as (shape, dtype) metadata
+                # (orbax cannot serialise empty arrays); validate each
+                # restored leaf against the template built from the current
+                # config so a buffer_size/n_envs/net_arch mismatch fails
+                # loudly instead of as an opaque jit error (ADVICE r3)
+                t_leaves = jax.tree_util.tree_leaves(template)
+                if len(t_leaves) != len(vals):
+                    raise ValueError(
+                        f"resume {what}: checkpoint has {len(vals)} leaves, "
+                        f"config-built template has {len(t_leaves)} — "
+                        f"config does not match the checkpointed run")
+                out = []
+                for i, (v, m, t) in enumerate(zip(vals, meta, t_leaves)):
+                    leaf = (jnp.zeros(m[0], dtype=m[1]) if v is None
+                            else jnp.asarray(v))
+                    if tuple(leaf.shape) != tuple(t.shape) or \
+                            leaf.dtype != t.dtype:
+                        raise ValueError(
+                            f"resume {what}: leaf {i} is "
+                            f"{leaf.shape}/{leaf.dtype} in the checkpoint "
+                            f"but {t.shape}/{t.dtype} under the current "
+                            f"config (check buffer_size, n_envs, "
+                            f"max_ep_steps, net_arch)")
+                    out.append(leaf)
+                return out
+
+            self.ts = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(self.ts),
+                unpack(r["ts_leaves"], r["ts_meta"], self.ts, "learner"))
+            if r.get("buffer_leaves") is not None:
+                self.buffer = jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(self.buffer),
+                    unpack(r["buffer_leaves"], r["buffer_meta"], self.buffer,
+                           "buffer"))
+
         # Final stage: per-scene benchmark eval envs with best-model
         # snapshots (setup_training.py:255-290: 5 eval_benchmark_scenes,
         # an EvalSuccessCallback each, best_model_save_path per scene).
@@ -421,42 +471,30 @@ class Trainer:
         def update_many(ts, buf, key):
             return update_burst(ts, buf, key, updates_per_rollout)
 
-        stage_steps = 0
-        learning_started = False
-        if self._resume is not None:
-            # restore mid-stage position: counters, loop PRNG key, learner
-            # and buffer leaves grafted onto the freshly built templates
-            r, self._resume = self._resume, None
-            stage_steps = int(r["stage_steps"])
-            learning_started = bool(r["learning_started"])
-            self._best_eval_success = float(r["best_eval_success"])
-            key = jnp.asarray(np.asarray(r["key"]), jnp.uint32)
-
-            def unpack(vals, meta):
-                # zero-size leaves were stored as (shape, dtype) metadata
-                # (orbax cannot serialise empty arrays)
-                return [jnp.zeros(m[0], dtype=m[1]) if v is None
-                        else jnp.asarray(v)
-                        for v, m in zip(vals, meta)]
-
-            self.ts = jax.tree_util.tree_unflatten(
-                jax.tree_util.tree_structure(self.ts),
-                unpack(r["ts_leaves"], r["ts_meta"]))
-            if r.get("buffer_leaves") is not None:
-                self.buffer = jax.tree_util.tree_unflatten(
-                    jax.tree_util.tree_structure(self.buffer),
-                    unpack(r["buffer_leaves"], r["buffer_meta"]))
         full_freq = getattr(cfg, "full_ckpt_freq", 0)
         t_start = time.time()
+        # buffer-fill gate for interleaved bursts (round-3 incident: a
+        # resumed policy on a fresh near-empty buffer collapsed 0.61->0.26
+        # under interleaved updates).  Until the buffer holds enough
+        # transitions, fall back to collect + one end-of-rollout burst.
+        interleave_min = getattr(cfg, "interleave_min_buffer", None)
+        if interleave_min is None:
+            interleave_min = max(2 * cfg.learning_starts, 20_000)
+
+        def buffer_filled():
+            return int(jnp.sum(self.buffer.ep_len)) >= interleave_min
+
         while stage_steps < cfg.max_timesteps:
             key, k_c = jax.random.split(key)
             t_c = time.time()
             m = {}
             t_u = 0.0
-            if learning_started and interleave:
+            did_interleave = False
+            if learning_started and interleave and buffer_filled():
                 self.ts, self.buffer, stats, m, _ = venv.rollout_train(
                     learner, self.ts, self.buffer, k_c, step_update)
                 m = {k: float(v) for k, v in m.items()}
+                did_interleave = True
             else:
                 self.buffer, stats, _ = collect(self.ts, self.buffer, k_c)
             rollout_steps = int(jnp.sum(stats["ep_len"]))
@@ -468,7 +506,7 @@ class Trainer:
                     and stage_steps >= min(cfg.learning_starts,
                                            cfg.max_timesteps // 4)):
                 learning_started = True
-            if learning_started and not interleave:
+            if learning_started and not did_interleave:
                 key, k_u = jax.random.split(key)
                 t_u = time.time()
                 self.ts, key, m = update_many(self.ts, self.buffer, k_u)

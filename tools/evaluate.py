@@ -65,18 +65,26 @@ def main():
     if not args.runs and args.strategy not in ("prior",):
         p.error("need at least one run dir (or --strategy prior)")
 
+    from panda_gym_tpu.rl.policy_io import graft_actor, load_policy
+
     cfg = TrainConfig()
-    ts_list = []
+    ts_list = []   # TrainStates or ("npz", actor, meta) sentinels
     learner = None
     member_archs = []  # (run_dir, algorithm, net_arch) per ensemble member
     for run_dir in args.runs:
         cfg, ckpts = load_run(run_dir)
-        if not ckpts:
+        npz = os.path.join(run_dir, "best_model.policy.npz")
+        if ckpts:
+            with open(ckpts[-1], "rb") as f:
+                payload = pickle.load(f)
+            ts = payload["ts"] if isinstance(payload, dict) and "ts" in payload \
+                else payload
+        elif os.path.exists(npz):
+            actor, meta = load_policy(npz)
+            cfg.hyperparams.use_sde = bool(meta.get("use_sde", False))
+            ts = ("npz", actor, meta)
+        else:
             raise SystemExit(f"no checkpoints in {run_dir}")
-        with open(ckpts[-1], "rb") as f:
-            payload = pickle.load(f)
-        ts = payload["ts"] if isinstance(payload, dict) and "ts" in payload \
-            else payload
         ts_list.append(ts)
         hp = getattr(cfg, "hyperparams", None)
         arch = None
@@ -109,8 +117,12 @@ def main():
     if ts_list:
         # pre-gSDE checkpoints carry the legacy Gaussian actor even under
         # use_sde=True configs; align so the learner's param tree matches
+        # (npz members recorded their actual actor type at export and set
+        # hp.use_sde at load)
         from panda_gym_tpu.rl.learners import align_sde_with_ckpt
-        align_sde_with_ckpt(cfg.hyperparams, ts_list[0])
+        lead = ts_list[0]
+        if not (isinstance(lead, tuple) and lead and lead[0] == "npz"):
+            align_sde_with_ckpt(cfg.hyperparams, lead)
         probe = make_core("reachao1")
         import jax
         _, obs = jax.eval_shape(probe.reset, jax.random.PRNGKey(0))
@@ -118,6 +130,12 @@ def main():
                  + 2 * obs["achieved_goal"].shape[0])
         learner = make_learner(cfg.algorithm, x_dim, probe.robot.action_dim,
                                cfg.hyperparams)
+        template = None
+        for i, ts in enumerate(ts_list):
+            if isinstance(ts, tuple) and ts and ts[0] == "npz":
+                if template is None:
+                    template = learner.init(jax.random.PRNGKey(0))
+                ts_list[i] = graft_actor(template, ts[1])
 
     scenarios = args.scenarios or BENCHMARK_SCENARIOS
     results = evaluate_scenarios(

@@ -59,6 +59,11 @@ def parse_args():
                         "fresh buffer were observed to collapse a resumed "
                         "policy (eval 0.61->0.26 within 40k steps) while "
                         "the collect-then-update loop is stable")
+    p.add_argument("--interleave-min-buffer", type=int, default=None,
+                   help="interleaved bursts only fire once the buffer holds "
+                        "this many transitions (default max(2*learning_"
+                        "starts, 20k)) — guards resumed policies against "
+                        "high-UTD updates on a near-empty fresh buffer")
     p.add_argument("--moving-obstacles", action="store_true",
                    help="sample random obstacle velocities at reset; the "
                         "engine integrates them per substep (reference "
@@ -161,6 +166,7 @@ def main():
         seed=args.seed,
         utd=args.utd, update_batch_size=args.update_batch_size,
         interleave_updates=not args.no_interleave,
+        interleave_min_buffer=args.interleave_min_buffer,
         randomize_obstacle_velocity=args.moving_obstacles,
         full_ckpt_freq=args.full_ckpt_freq,
     )
