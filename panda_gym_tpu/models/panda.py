@@ -52,7 +52,14 @@ def make_panda_model(
     reference's sim-facade golden tests load) — see panda_constants.LINKS."""
     links = pc.LINKS
     if inertia == "stock":
-        links = {k: (m, com, pc.BULLET_INERTIA_STOCK.get(k, diag))
+        def _stock(k, m, com, diag):
+            diag = pc.BULLET_INERTIA_STOCK.get(k, diag)
+            if k in pc.BULLET_STOCK_WRIST_LINKS:
+                s = pc.BULLET_STOCK_WRIST_CALIBRATION
+                m = m * s
+                diag = tuple(x * s for x in diag)
+            return (m, com, diag)
+        links = {k: _stock(k, m, com, diag)
                  for k, (m, com, diag) in pc.LINKS.items()}
     elif inertia != "custom":
         raise ValueError(f"unknown inertia variant: {inertia}")

@@ -223,8 +223,40 @@ POSITION_GAIN = 0.1
 # (test/pybullet_test.py:156-187).
 MOTOR_LCP_ITERS = 3
 
+# Motor LCP solver selection: "exact" (masked active-set, default) or
+# "pgs" (Bullet-emulating sequential impulse with PGS_ITERS sweeps —
+# PyBullet's numSolverIterations default is 50).  The exact solve is the
+# converged answer; "pgs" reproduces Bullet's partially-converged golden
+# values for cross-engine parity fixtures (test/pybullet_test.py:156-187).
+LCP_MODE = "exact"
+PGS_ITERS = 50
+
 CTRL_POSITION = 0
 CTRL_VELOCITY = 1
+
+
+def _motor_pgs(M, qd_free, v_des, cap, iters: int):
+    """Sequential-impulse (projected Gauss-Seidel) motor solve, Bullet's
+    btMultiBodyConstraintSolver scheme: one velocity-constraint row per
+    motor, impulse accumulated and clamped to ±cap, delta-velocities
+    propagated through M^-1 columns, rows swept in joint order."""
+    n = qd_free.shape[-1]
+    Minv = jnp.linalg.inv(M)
+    inv_diag = 1.0 / jnp.diagonal(Minv)
+
+    def sweep(_, carry):
+        v, p = carry
+        for j in range(n):
+            dp = (v_des[j] - v[j]) * inv_diag[j]
+            p_new = jnp.clip(p[j] + dp, -cap[j], cap[j])
+            dp = p_new - p[j]
+            p = p.at[j].set(p_new)
+            v = v + Minv[:, j] * dp
+        return v, p
+
+    v, _ = jax.lax.fori_loop(0, iters, sweep,
+                             (qd_free, jnp.zeros_like(qd_free)))
+    return v
 
 
 def motor_substep(
@@ -278,6 +310,14 @@ def motor_substep(
     cap = eff * dt
     eye = jnp.eye(n, dtype=q.dtype)
     Mqf = M @ qd_free
+
+    if LCP_MODE == "pgs":
+        qd_new = _motor_pgs(M, qd_free, v_des, cap, PGS_ITERS)
+        q_new = q + qd_new * dt
+        q_clamped = jnp.clip(q_new, model.q_lo, model.q_hi)
+        at_limit = q_clamped != q_new
+        qd_new = jnp.where(at_limit, 0.0, qd_new)
+        return q_clamped, qd_new
 
     # unconstrained pass: impulse needed for every motor to hit v_des
     x = M @ v_des - Mqf

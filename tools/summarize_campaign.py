@@ -42,9 +42,16 @@ def load_benchmarks(group_dir: str):
             if os.path.isfile(cfg_path):
                 with open(cfg_path) as f:
                     stages = json.load(f).get("stages", [])
-            trained_scenes[name] = {
-                canonical_scene(comp)
-                for s in stages for comp in s.split("+")}
+            claimed = {canonical_scene(comp)
+                       for s in stages for comp in s.split("+")}
+            # reachao3 and wangexp-3 evaluate identically at benchmark
+            # time (same hollow-sphere goal + wang obstacle sampler;
+            # pose randomization is a training-only axis — every run's
+            # benchmark.json rows for the two scenes are equal), so a
+            # specialist for one claims the other
+            if {"reachao3", "wangexp-3", "wangexp"} & claimed:
+                claimed |= {"reachao3", "wangexp-3"}
+            trained_scenes[name] = claimed
         # ensemble eval results (evaluate_ensemble equivalent): candidate
         # "models" named <run>+<suffix>; they claim exactly the scenes they
         # were evaluated on (members were chosen per scene deliberately)
