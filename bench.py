@@ -26,11 +26,26 @@ import jax.numpy as jnp
 PER_CHIP_TARGET = 125_000.0  # BASELINE.json north star / 8 chips
 
 
+def _make_bench_core(task: str):
+    """Task factory covering all three physics paths: Reach & friends
+    (ops/scalarized + Pallas motor kernel), ReachAO scenarios (per-substep
+    collision checking, ops/scalarized_collision), and contact tasks
+    (free bodies, ops/scalarized_contact)."""
+    if task.startswith("reachao") or task in ("wall", "wangexp-3"):
+        from panda_gym_tpu.envs.tasks.reach_ao import make_reach_ao_core
+        from panda_gym_tpu.rl.config import TrainConfig
+        cfg = TrainConfig()
+        cfg.obs_max_distance = 2.0
+        return make_reach_ao_core(scenario=task, config=cfg,
+                                  ee_error_threshold=0.05,
+                                  speed_threshold=0.5)
+    from panda_gym_tpu.envs.panda_tasks import make_core
+    return make_core(task)
+
+
 def bench_env_steps(batch: int = 4096, segment: int = 25, iters: int = 10,
                     task: str = "reach"):
-    from panda_gym_tpu.envs.panda_tasks import make_core
-
-    core = make_core(task)
+    core = _make_bench_core(task)
     keys = jax.random.split(jax.random.PRNGKey(0), batch)
     reset_fn = jax.jit(jax.vmap(core.reset))
     states, _ = reset_fn(keys)
@@ -77,6 +92,39 @@ def main():
     }))
 
 
+# per-task batch sizes: contact/collision paths carry much more per-substep
+# state, so their throughput saturates at smaller batches
+TASK_BENCH = [
+    ("reach", 65536),      # robot-only path (Pallas motor kernel)
+    ("reachao1", 16384),   # per-substep collision path (3 obstacles)
+    ("reachao2", 16384),   # collision path, 9 obstacles
+    ("push", 16384),       # free-body contact path
+]
+
+
+def tasks_main():
+    """Per-task throughput table (VERDICT r3 #3): writes BENCH_TASKS.json,
+    prints one row per task plus a summary line."""
+    names = [a for a in sys.argv[1:] if not a.startswith("-")] or None
+    rows = {}
+    for task, batch in TASK_BENCH:
+        if names and task not in names:
+            continue
+        t0 = time.perf_counter()
+        sps = bench_env_steps(batch=batch, segment=25, iters=10, task=task)
+        rows[task] = {
+            "batch": batch,
+            "steps_per_sec": round(sps, 1),
+            "vs_per_chip_target": round(sps / PER_CHIP_TARGET, 4),
+            "wall_s": round(time.perf_counter() - t0, 1),
+        }
+        print(json.dumps({"task": task, **rows[task]}), flush=True)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_TASKS.json"), "w") as f:
+        json.dump({"device": str(jax.devices()[0]), "rows": rows}, f,
+                  indent=1)
+
+
 def _watchdog_main():
     """Run the measurement in a child process with a hard deadline.
 
@@ -109,7 +157,10 @@ def _watchdog_main():
 
 
 if __name__ == "__main__":
-    if "--child" in sys.argv:
+    if "--tasks" in sys.argv:
+        sys.argv.remove("--tasks")
+        tasks_main()
+    elif "--child" in sys.argv:
         sys.argv.remove("--child")
         main()
     else:

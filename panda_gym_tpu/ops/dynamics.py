@@ -221,7 +221,9 @@ POSITION_GAIN = 0.1
 # cheaper and EXACT once the active set stabilises (1-2 refinements in
 # practice).  Validated against the reference's golden link velocities
 # (test/pybullet_test.py:156-187).
-MOTOR_LCP_ITERS = 3
+import os as _os
+
+MOTOR_LCP_ITERS = int(_os.environ.get("PANDA_MOTOR_LCP_ITERS", "3"))
 
 # Motor LCP solver selection: "exact" (masked active-set, default) or
 # "pgs" (Bullet-emulating sequential impulse with PGS_ITERS sweeps —
