@@ -216,14 +216,23 @@ def crba(model: ChainModel, q):
 POSITION_GAIN = 0.1
 
 # Active-set refinements for the coupled motor box-LCP.  Bullet solves the
-# same LCP by sequential impulse (50 iterations); its Gauss-Seidel spectral
-# radius on the Panda mass matrix is ~0.91, so a direct masked solve is both
-# cheaper and EXACT once the active set stabilises (1-2 refinements in
-# practice).  Validated against the reference's golden link velocities
-# (test/pybullet_test.py:156-187).
+# same LCP by sequential impulse (50 iterations); a direct masked solve is
+# cheaper and EXACT once the active set stabilises.  Operating envelope
+# (tests/test_motor_lcp.py): along real rollouts the 3-refinement cold
+# solve satisfies the box-LCP KKT conditions to solver precision; on
+# synthetic decorrelated states with extreme v_des the set can cycle
+# (where PGS — LCP_MODE="pgs" — remains globally convergent).  The engine
+# paths warm-start the set across substeps (see engine.make_physics_step),
+# paying the cold 3-refinement price once per policy step.
 import os as _os
 
 MOTOR_LCP_ITERS = int(_os.environ.get("PANDA_MOTOR_LCP_ITERS", "3"))
+# refinements per substep when warm-starting from the previous substep's
+# active set (Bullet warm-starts its sequential-impulse solver the same
+# way): the set rarely changes between 1/500 s substeps, so one masked
+# solve from the carried set reproduces the cold-3 solution wherever the
+# cold solve converged (tests/test_motor_lcp.py pins this down).
+MOTOR_LCP_WARM_ITERS = int(_os.environ.get("PANDA_MOTOR_LCP_WARM_ITERS", "1"))
 
 # Motor LCP solver selection: "exact" (masked active-set, default) or
 # "pgs" (Bullet-emulating sequential impulse with PGS_ITERS sweeps —
@@ -272,6 +281,8 @@ def motor_substep(
     position_gain: float = POSITION_GAIN,
     tau_ext=None,
     effort=None,
+    warm=None,
+    return_warm: bool = False,
 ):
     """One semi-implicit Euler substep of the motor-driven chain.
 
@@ -286,6 +297,12 @@ def motor_substep(
     reference's golden link-velocity values pin this down
     (test/pybullet_test.py:156-187: a saturated motor must not bleed its
     torque demand into held neighbours the way a one-shot clamp does).
+
+    Warm starting: pass ``warm=(sat, sign)`` (the previous substep's active
+    set and impulse signs) to run MOTOR_LCP_WARM_ITERS refinements from
+    that set instead of MOTOR_LCP_ITERS from the unconstrained-pass
+    estimate; with ``return_warm=True`` (or warm given) returns
+    ``(q, qd, (sat, sign))`` for the next substep's carry.
     """
     if control_mode == CTRL_POSITION:
         v_des = position_gain * (target - q) / dt
@@ -319,14 +336,25 @@ def motor_substep(
         q_clamped = jnp.clip(q_new, model.q_lo, model.q_hi)
         at_limit = q_clamped != q_new
         qd_new = jnp.where(at_limit, 0.0, qd_new)
+        if warm is not None or return_warm:
+            x = M @ (qd_new - qd_free)
+            return q_clamped, qd_new, (jnp.abs(x) >= cap * (1 - 1e-6),
+                                       jnp.where(x >= 0.0, 1.0, -1.0))
         return q_clamped, qd_new
 
-    # unconstrained pass: impulse needed for every motor to hit v_des
-    x = M @ v_des - Mqf
-    sat = jnp.abs(x) > cap
-    c = jnp.clip(x, -cap, cap)
+    if warm is None:
+        # unconstrained pass: impulse needed for every motor to hit v_des
+        x = M @ v_des - Mqf
+        sat = jnp.abs(x) > cap
+        c = jnp.clip(x, -cap, cap)
+        n_iters = MOTOR_LCP_ITERS
+    else:
+        sat, sign = warm
+        c = sign * cap
+        n_iters = MOTOR_LCP_WARM_ITERS
     u = v_des
-    for _ in range(MOTOR_LCP_ITERS):
+    x = None
+    for _ in range(n_iters):
         # rows S (saturated): M_SS u_S = c_S + (M qd_free)_S - M_SF v_des_F
         # rows F (free):      u_F = v_des_F
         pair = jnp.outer(sat, sat)
@@ -350,4 +378,7 @@ def motor_substep(
     q_clamped = jnp.clip(q_new, model.q_lo, model.q_hi)
     at_limit = q_clamped != q_new
     qd_new = jnp.where(at_limit, 0.0, qd_new)
+    if warm is not None or return_warm:
+        sign_out = jnp.where(x >= 0.0, 1.0, -1.0)
+        return q_clamped, qd_new, (sat, sign_out)
     return q_clamped, qd_new

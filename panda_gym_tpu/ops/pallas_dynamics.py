@@ -48,15 +48,21 @@ def make_pallas_motor_steps(model: ChainModel, *, n_substeps: int, dt: float,
         comp = lambda ref, d: ref[d, :].reshape(shape)
         tgt = tuple(comp(tgt_ref, d) for d in range(ndof))
 
-        def body(_, carry):
-            qc, qdc = carry
-            q2, qd2 = S.motor_substep(mc, list(qc), list(qdc), list(tgt),
-                                      dt, ctrl_mode)
-            return tuple(q2), tuple(qd2)
+        # cold pre-solve seeds the warm active set; all substeps run one
+        # warm refinement — same structure as every other physics path
+        q0 = [comp(q_ref, d) for d in range(ndof)]
+        qd0 = [comp(qd_ref, d) for d in range(ndof)]
+        _, _, warm = S.motor_substep(mc, list(q0), list(qd0), list(tgt),
+                                     dt, ctrl_mode, return_warm=True)
 
-        carry = (tuple(comp(q_ref, d) for d in range(ndof)),
-                 tuple(comp(qd_ref, d) for d in range(ndof)))
-        qc, qdc = jax.lax.fori_loop(0, n_substeps, body, carry)
+        def body(_, carry):
+            qc, qdc, w = carry
+            q2, qd2, w2 = S.motor_substep(mc, list(qc), list(qdc),
+                                          list(tgt), dt, ctrl_mode, warm=w)
+            return tuple(q2), tuple(qd2), w2
+
+        qc, qdc, _ = jax.lax.fori_loop(0, n_substeps, body,
+                                       (tuple(q0), tuple(qd0), warm))
         for d in range(ndof):
             q_out[d, :] = qc[d].reshape(-1)
             qd_out[d, :] = qdc[d].reshape(-1)

@@ -561,12 +561,19 @@ CTRL_VELOCITY = 1
 
 
 def motor_substep(mc: ModelConsts, q, qd, target, dt: float, control_mode: int,
-                  position_gain: float = POSITION_GAIN, tau_ext=None):
+                  position_gain: float = POSITION_GAIN, tau_ext=None,
+                  warm=None, return_warm: bool = False):
     """One semi-implicit Euler substep with PyBullet motor semantics over
     component lists; numerically identical to dynamics.py:motor_substep
     (coupled motor box-LCP solved exactly by a masked active-set method —
-    see dynamics.py for the golden values that pin this down)."""
-    from panda_gym_tpu.ops.dynamics import MOTOR_LCP_ITERS
+    see dynamics.py for the golden values that pin this down).
+
+    ``warm=(sat, sign)`` — component lists carried from the previous
+    substep — runs MOTOR_LCP_WARM_ITERS refinements from that active set
+    (mirrors dynamics.py); with warm given (or return_warm) the return is
+    (q, qd, (sat, sign))."""
+    from panda_gym_tpu.ops.dynamics import (MOTOR_LCP_ITERS,
+                                            MOTOR_LCP_WARM_ITERS)
 
     ndof = mc.ndof
     inv_dt = 1.0 / dt
@@ -599,13 +606,21 @@ def motor_substep(mc: ModelConsts, q, qd, target, dt: float, control_mode: int,
         return out
 
     Mqf = matvec(qd_free)
-    # unconstrained pass: impulse needed for every motor to hit v_des
-    Mv = matvec(v_des)
-    x = [sub(Mv[i], Mqf[i]) for i in range(ndof)]
-    sat = [jnp.abs(x[i]) > cap[i] for i in range(ndof)]
-    c = [jnp.clip(x[i], -cap[i], cap[i]) for i in range(ndof)]
+    if warm is None:
+        # unconstrained pass: impulse needed for every motor to hit v_des
+        Mv = matvec(v_des)
+        x = [sub(Mv[i], Mqf[i]) for i in range(ndof)]
+        sat = [jnp.abs(x[i]) > cap[i] for i in range(ndof)]
+        c = [jnp.clip(x[i], -cap[i], cap[i]) for i in range(ndof)]
+        n_iters = MOTOR_LCP_ITERS
+    else:
+        sat, sign = warm
+        sat = list(sat)
+        c = [mul(cap[i], sign[i]) for i in range(ndof)]
+        n_iters = MOTOR_LCP_WARM_ITERS
     u = list(v_des)
-    for _ in range(MOTOR_LCP_ITERS):
+    x = None
+    for _ in range(n_iters):
         # rows S (saturated): M_SS u_S = c_S + (M qd_free)_S - M_SF v_des_F
         # rows F (free):      u_F = v_des_F
         A = [[jnp.where(sat[i] & sat[j], M[i][j],
@@ -630,6 +645,9 @@ def motor_substep(mc: ModelConsts, q, qd, target, dt: float, control_mode: int,
     q_cl = [jnp.clip(q_new[d], mc.q_lo[d], mc.q_hi[d]) for d in range(ndof)]
     qd_out = [jnp.where(q_cl[d] != q_new[d], 0.0, qd_new[d])
               for d in range(ndof)]
+    if warm is not None or return_warm:
+        sign_out = [jnp.where(x[i] >= 0.0, 1.0, -1.0) for i in range(ndof)]
+        return q_cl, qd_out, (tuple(sat), tuple(sign_out))
     return q_cl, qd_out
 
 
@@ -643,15 +661,22 @@ def make_batched_motor_steps(model: ChainModel, *, n_substeps: int, dt: float,
     def step(q, qd, target):
         tgt = tuple(target[:, d] for d in range(ndof))
 
-        def body(carry, _):
-            qc, qdc = carry
-            q2, qd2 = motor_substep(mc, list(qc), list(qdc), list(tgt), dt,
-                                    ctrl_mode)
-            return (tuple(q2), tuple(qd2)), None
+        # cold pre-solve seeds the warm active set; all substeps run one
+        # warm refinement (identical structure across every physics path —
+        # see engine.make_physics_step)
+        q0 = [q[:, d] for d in range(ndof)]
+        qd0 = [qd[:, d] for d in range(ndof)]
+        _, _, warm = motor_substep(mc, q0, qd0, list(tgt), dt, ctrl_mode,
+                                   return_warm=True)
 
-        carry0 = (tuple(q[:, d] for d in range(ndof)),
-                  tuple(qd[:, d] for d in range(ndof)))
-        (qc, qdc), _ = jax.lax.scan(body, carry0, None, length=n_substeps)
+        def body(carry, _):
+            qc, qdc, w = carry
+            q2, qd2, w2 = motor_substep(mc, list(qc), list(qdc), list(tgt),
+                                        dt, ctrl_mode, warm=w)
+            return (tuple(q2), tuple(qd2), w2), None
+
+        (qc, qdc, _), _ = jax.lax.scan(
+            body, (tuple(q0), tuple(qd0), warm), None, length=n_substeps)
         return jnp.stack(qc, axis=-1), jnp.stack(qdc, axis=-1)
 
     return step

@@ -294,11 +294,15 @@ def make_batched_collision_physics(
         RC = _cap_radius_col(mc)
 
         def body(carry, _):
-            qc, qdc, opos, collided, link_d = carry
+            qc, qdc, opos, collided, link_d, w = carry
             # robot substep (motor semantics) + kinematic obstacle advance,
-            # exactly as engine.substep orders them
-            q_new, qd_new = S.motor_substep(mc, list(qc), list(qdc),
-                                            list(tgt), dt, ctrl_mode)
+            # exactly as engine.substep orders them; the LCP active set is
+            # warm-started across substeps (seeded by a cold pre-scan
+            # solve of the first substep's system, so iteration 1 of the
+            # scan refines from an already-converged set)
+            q_new, qd_new, w2 = S.motor_substep(mc, list(qc), list(qdc),
+                                                list(tgt), dt, ctrl_mode,
+                                                warm=w)
             if moving_obstacles:
                 opos_new = [S.vadd(opos[j], S.vscale(dt, ovel[j]))
                             for j in range(n_obstacles)]
@@ -344,17 +348,23 @@ def make_batched_collision_physics(
                 opos_out = opos_new
                 link_d_out = tuple(gd)
             return (q_out, qd_out, tuple(opos_out), new_collided,
-                    link_d_out), None
+                    link_d_out, w2), None
 
+        q0 = tuple(states.q[:, d] for d in range(ndof))
+        qd0 = tuple(states.qd[:, d] for d in range(ndof))
+        # cold pre-scan solve: discard the state, keep the converged active
+        # set as the scan's initial warm carry (bit-identical first substep)
+        _, _, warm0 = S.motor_substep(mc, list(q0), list(qd0), list(tgt),
+                                      dt, ctrl_mode, return_warm=True)
         carry0 = (
-            tuple(states.q[:, d] for d in range(ndof)),
-            tuple(states.qd[:, d] for d in range(ndof)),
+            q0, qd0,
             tuple(tuple(states.obstacle_pos[:, j, k] for k in range(3))
                   for j in range(n_obstacles)),
             states.is_collided,
             tuple(states.link_obstacle_dist[:, g] for g in range(ngroup)),
+            warm0,
         )
-        (qc, qdc, opos, collided, link_d), _ = jax.lax.scan(
+        (qc, qdc, opos, collided, link_d, _), _ = jax.lax.scan(
             body, carry0, None, length=n_substeps)
 
         obstacle_pos = jnp.stack(

@@ -336,7 +336,7 @@ def make_batched_contact_physics(
         RC = jnp.asarray(np.asarray(mc.cap_radius, np.float32)[:, None])
 
         def body_fn(carry, _):
-            qc, qdc, bpos, bquat, bvel, bang = carry
+            qc, qdc, bpos, bquat, bvel, bang, w = carry
             fkR, fkp, fkom, fkv, fkaw = S.fk_full(mc, qc, qdc) \
                 if robot_contact else (None,) * 5
 
@@ -400,15 +400,21 @@ def make_batched_contact_physics(
                 n_vel.append(v)
                 n_ang.append(om)
 
-            q_new, qd_new = S.motor_substep(mc, list(qc), list(qdc),
-                                            list(tgt), dt, ctrl_mode,
-                                            tau_ext=tau_ext)
+            # warm-started LCP (active set carried across substeps; the
+            # cold pre-scan seed below ignores tau_ext — it only seeds the
+            # set, which the warm refinements correct within a substep)
+            q_new, qd_new, w2 = S.motor_substep(mc, list(qc), list(qdc),
+                                                list(tgt), dt, ctrl_mode,
+                                                tau_ext=tau_ext, warm=w)
             return (tuple(q_new), tuple(qd_new), tuple(n_pos), tuple(n_quat),
-                    tuple(n_vel), tuple(n_ang)), None
+                    tuple(n_vel), tuple(n_ang), w2), None
 
+        q0 = tuple(states.q[:, d] for d in range(ndof))
+        qd0 = tuple(states.qd[:, d] for d in range(ndof))
+        _, _, warm0 = S.motor_substep(mc, list(q0), list(qd0), list(tgt),
+                                      dt, ctrl_mode, return_warm=True)
         carry0 = (
-            tuple(states.q[:, d] for d in range(ndof)),
-            tuple(states.qd[:, d] for d in range(ndof)),
+            q0, qd0,
             tuple(tuple(states.body_pos[:, b, k] for k in range(3))
                   for b in range(nb)),
             tuple(tuple(states.body_quat[:, b, k] for k in range(4))
@@ -417,8 +423,9 @@ def make_batched_contact_physics(
                   for b in range(nb)),
             tuple(tuple(states.body_ang[:, b, k] for k in range(3))
                   for b in range(nb)),
+            warm0,
         )
-        (qc, qdc, bpos, bquat, bvel, bang), _ = jax.lax.scan(
+        (qc, qdc, bpos, bquat, bvel, bang, _), _ = jax.lax.scan(
             body_fn, carry0, None, length=n_substeps)
 
         pack = lambda t, k: jnp.stack(

@@ -286,7 +286,7 @@ def make_physics_step(
 
     need_fk = (has_bodies and nb > 0 and robot_contact) or check_collision
 
-    def substep(state: EnvState) -> EnvState:
+    def substep(state: EnvState, warm=None):
         fk = K.fk_world(model, state.q, state.qd) if need_fk else None
         tau_ext = jnp.zeros(model.ndof)
 
@@ -349,10 +349,12 @@ def make_physics_step(
         else:
             obstacle_pos = state.obstacle_pos
 
-        # robot substep
-        q, qd = D.motor_substep(
+        # robot substep (warm-started active set carried across substeps;
+        # dynamics.py motor_substep warm contract)
+        q, qd, warm = D.motor_substep(
             model, state.q, state.qd, state.ctrl_target, dt, ctrl_mode,
-            gravity=gravity, tau_ext=tau_ext, effort=effort)
+            gravity=gravity, tau_ext=tau_ext, effort=effort, warm=warm,
+            return_warm=True)
 
         new_state = state.replace(
             q=q, qd=qd, body_pos=body_pos, body_quat=body_quat,
@@ -386,12 +388,27 @@ def make_physics_step(
                     state.replace(is_collided=new_state.is_collided),
                     new_state,
                 )
-        return new_state
+        return new_state, warm
 
     def physics_step(state: EnvState) -> EnvState:
-        def body(s, _):
-            return substep(s), None
-        out, _ = jax.lax.scan(body, state, None, length=n_substeps)
+        # Cold pre-solve: run the full active-set LCP once on the initial
+        # system and keep only the converged set as the warm seed; every
+        # substep in the scan then runs one warm refinement.  On converged
+        # sets the first substep is bit-identical to the old cold-3 path
+        # (the warm solve repeats the cold pass's final masked system);
+        # this structure is shared by all batched paths so per-env and
+        # batched trajectories stay bit-equal.
+        _, _, warm0 = D.motor_substep(
+            model, state.q, state.qd, state.ctrl_target, dt, ctrl_mode,
+            gravity=gravity, effort=effort, return_warm=True)
+
+        def body(carry, _):
+            s, w = carry
+            s2, w2 = substep(s, w)
+            return (s2, w2), None
+
+        (out, _), _ = jax.lax.scan(body, (state, warm0), None,
+                                   length=n_substeps)
         return out
 
     return physics_step

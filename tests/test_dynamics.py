@@ -178,11 +178,17 @@ def test_scalarized_batched_matches_per_env(model):
                       jnp.float32)
 
     def per_env(q, qd, tgt):
+        # warm-chain structure matching engine.make_physics_step (cold
+        # pre-solve seeds the active set, every substep refines warm)
+        _, _, w0 = D.motor_substep(model, q, qd, tgt, dt, D.CTRL_POSITION,
+                                   return_warm=True)
+
         def body(c, _):
-            q, qd = c
-            q, qd = D.motor_substep(model, q, qd, tgt, dt, D.CTRL_POSITION)
-            return (q, qd), None
-        (q, qd), _ = jax.lax.scan(body, (q, qd), None, length=20)
+            q, qd, w = c
+            q, qd, w = D.motor_substep(model, q, qd, tgt, dt,
+                                       D.CTRL_POSITION, warm=w)
+            return (q, qd, w), None
+        (q, qd, _), _ = jax.lax.scan(body, (q, qd, w0), None, length=20)
         return q, qd
 
     q1, qd1 = jax.jit(jax.vmap(per_env))(q, qd, tgt)

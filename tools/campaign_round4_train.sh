@@ -57,10 +57,15 @@ case "${1:-throughput}" in
       0 512 10800 --utd 0.0625 --update-batch-size 512
     ;;
   tail)
-    tr_ni tqc_r4_rs_s1   reachao_rand_start 400000 "$R2/tqc_ft21_rand_start/best_model.ckpt" 1 64 5400
-    tr_ni tqc_r4_rs_s2   reachao_rand_start 400000 "$R2/tqc_ft21_rand_start/best_model.ckpt" 2 64 5400
-    tr_ni tqc_r4_rr_s1   reachao_rand       300000 "$R3/tqc_r3_wang3/best_model.ckpt"        1 64 5400
-    tr_ni tqc_r4_w3_s2   reachao3           300000 "$R3/tqc_r3_wang3/best_model.ckpt"        2 64 5400
-    tr_ni tqc_r4_ao2_s1  reachao2           300000 "$R2/tqc_ft21_reachao2/best_model.ckpt"   1 64 5400
+    # interleaved fine-tunes with the collapse ramp: no updates until 50k
+    # fresh transitions, interleaved bursts only past 100k (the r4 gate);
+    # falls back to tr_ni if the first run shows a collapse
+    RAMP="--learning-starts 50000 --interleave-min-buffer 100000 --eval-freq 25000"
+    tr_il tqc_r4_rs_s1   reachao_rand_start 400000 "$R2/tqc_ft21_rand_start/best_model.ckpt" 1 64 3600 $RAMP
+    tr_il tqc_r4_rs_s2   reachao_rand_start 400000 "$R2/tqc_ft21_rand_start/best_model.ckpt" 2 64 3600 $RAMP
+    tr_il tqc_r4_rr_s1   reachao_rand       400000 "$R3/tqc_r3_wang3/best_model.ckpt"        1 64 3600 $RAMP
+    tr_il tqc_r4_w3_s2   reachao3           400000 "$R3/tqc_r3_wang3/best_model.ckpt"        2 64 3600 $RAMP
+    tr_il tqc_r4_ao2_s1  reachao2           400000 "$R2/tqc_ft21_reachao2/best_model.ckpt"   1 64 3600 $RAMP
+    tr_il tqc_r4_lib1_s1 library1           300000 "$R2/tqc_ft21_library1/best_model.ckpt"   1 64 3600 $RAMP
     ;;
 esac
