@@ -49,20 +49,29 @@ def make_pallas_motor_steps(model: ChainModel, *, n_substeps: int, dt: float,
         tgt = tuple(comp(tgt_ref, d) for d in range(ndof))
 
         # cold pre-solve seeds the warm active set; all substeps run one
-        # warm refinement — same structure as every other physics path
+        # warm refinement — same structure as every other physics path.
+        # Mosaic cannot loop-carry i1 vectors (scf.for fails to legalize on
+        # vector<8x128xi1>), so the saturation mask crosses the fori_loop
+        # boundary as f32 0/1 and is re-thresholded inside the body.
         q0 = [comp(q_ref, d) for d in range(ndof)]
         qd0 = [comp(qd_ref, d) for d in range(ndof)]
-        _, _, warm = S.motor_substep(mc, list(q0), list(qd0), list(tgt),
-                                     dt, ctrl_mode, return_warm=True)
+        _, _, (sat0, sign0) = S.motor_substep(
+            mc, list(q0), list(qd0), list(tgt), dt, ctrl_mode,
+            return_warm=True)
+        to_f = lambda sat: tuple(
+            jnp.where(s, 1.0, 0.0).astype(jnp.float32) for s in sat)
 
         def body(_, carry):
-            qc, qdc, w = carry
-            q2, qd2, w2 = S.motor_substep(mc, list(qc), list(qdc),
-                                          list(tgt), dt, ctrl_mode, warm=w)
-            return tuple(q2), tuple(qd2), w2
+            qc, qdc, sat_f, sign = carry
+            sat = tuple(s > 0.5 for s in sat_f)
+            q2, qd2, (sat2, sign2) = S.motor_substep(
+                mc, list(qc), list(qdc), list(tgt), dt, ctrl_mode,
+                warm=(sat, sign))
+            return tuple(q2), tuple(qd2), to_f(sat2), sign2
 
-        qc, qdc, _ = jax.lax.fori_loop(0, n_substeps, body,
-                                       (tuple(q0), tuple(qd0), warm))
+        qc, qdc, _, _ = jax.lax.fori_loop(
+            0, n_substeps, body,
+            (tuple(q0), tuple(qd0), to_f(sat0), tuple(sign0)))
         for d in range(ndof):
             q_out[d, :] = qc[d].reshape(-1)
             qd_out[d, :] = qdc[d].reshape(-1)
