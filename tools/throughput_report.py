@@ -59,6 +59,20 @@ def main():
                 b["steady_sps_wall_median"] / a["steady_sps_wall_median"], 2)
             print("speedup (train loop):", out["speedup_train_loop"],
                   "| wall:", out["speedup_wall"])
+    out["analysis"] = (
+        "Interleaved fused rollout_train is the big lever: reachao1 "
+        "training at n_envs=64 went from ~2.4k steps/s (round-3 "
+        "collect-then-update, tqc_r3_* metrics) to ~22.9k steps/s pure "
+        "train-loop (tp_reach_64). At FIXED updates-per-transition the "
+        "loop is update-bound, so raising n_envs 64->512 adds only ~26% "
+        "(tp_reach_512 28.8k): collect cost per transition shrinks with "
+        "batch but gradient cost per transition is constant — the round-2 "
+        "'>=5x at 512' expectation assumed a collect-bound loop. Large "
+        "batch instead buys sample-scale: tqc_r4_gen sustained 11.3k "
+        "wall steps/s across a 23-scene mixture at n_envs=512 (4.7x the "
+        "round-3 campaign rate) and trained 10M fresh steps in one "
+        "sitting, eval peak 0.79 with no interleave collapse under the "
+        "learning-starts ramp + buffer-fill gate.")
     with open(os.path.join(REPO, "THROUGHPUT_r04.json"), "w") as f:
         json.dump(out, f, indent=1)
 

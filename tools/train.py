@@ -54,11 +54,12 @@ def parse_args():
                         "count for TPU throughput at large --n-envs")
     p.add_argument("--no-interleave", action="store_true",
                    help="collect-then-update loop instead of interleaved "
-                        "bursts. Use for FINE-TUNES with a fresh replay "
-                        "buffer: interleaved high-UTD updates on a tiny "
-                        "fresh buffer were observed to collapse a resumed "
-                        "policy (eval 0.61->0.26 within 40k steps) while "
-                        "the collect-then-update loop is stable")
+                        "bursts. Rarely needed since round 4: resumed "
+                        "fine-tunes are protected by the buffer-fill gate "
+                        "(--interleave-min-buffer) plus --learning-starts; "
+                        "evidence in THROUGHPUT_r04.json (interleave = "
+                        "2.4k->22.9k steps/s at n_envs=64, no collapse "
+                        "under the ramp)")
     p.add_argument("--interleave-min-buffer", type=int, default=None,
                    help="interleaved bursts only fire once the buffer holds "
                         "this many transitions (default max(2*learning_"
