@@ -45,17 +45,20 @@ case "${1:-all}" in
     [ -f $R4/tqc_r4_rs_s1/best_model.ckpt ] && \
       ens $R4/tqc_r4_rs_s1 rs3 reachao_rand_start \
         $R4/tqc_r4_rs_s1 $R4/tqc_r4_rs_s2 $R2/tqc_ft21_rand_start
+    # members picked from the round-4 pool benchmark's top scorers per
+    # scene (cross-scene members are deliberate — the ensemble claims only
+    # the scene it is evaluated on)
     [ -f $R4/tqc_r4_w3_s2/best_model.ckpt ] && \
       ens $R4/tqc_r4_w3_s2 w3x reachao3 \
-        $R4/tqc_r4_w3_s2 $R3/tqc_r3_wang3 $R3/tqc_r3_reachao3 && \
+        $R4/tqc_r4_w3_s2 $R4/tqc_r4_rr_s1 $R3/tqc_r3_wang3 && \
       ens $R4/tqc_r4_w3_s2 w3xw wangexp-3 \
-        $R4/tqc_r4_w3_s2 $R3/tqc_r3_wang3 $R3/tqc_r3_reachao3
+        $R4/tqc_r4_w3_s2 $R4/tqc_r4_rr_s1 $R3/tqc_r3_wang3
     [ -f $R4/tqc_r4_rr_s1/best_model.ckpt ] && \
       ens $R4/tqc_r4_rr_s1 rr3 reachao_rand \
-        $R4/tqc_r4_rr_s1 $R3/tqc_r3_wang3 $R2/tqc_ft21_reachao_rand
+        $R4/tqc_r4_rr_s1 $R4/tqc_r4_w3_s2 $R3/tqc_r3_wang3
     [ -f $R4/tqc_r4_ao2_s1/best_model.ckpt ] && \
       ens $R4/tqc_r4_ao2_s1 ao2x reachao2 \
-        $R4/tqc_r4_ao2_s1 $R2/tqc_ft21_reachao2 $R3/tqc_r3_wang3
+        $R4/tqc_r4_ao2_s1 $R4/tqc_r4_rr_s1 $R2/tqc_ft21_reachao2
     ;&
   summary)
     # link everything into the round-4 campaign dir and summarize
