@@ -103,10 +103,16 @@ TASK_BENCH = [
 
 
 def tasks_main():
-    """Per-task throughput table (VERDICT r3 #3): writes BENCH_TASKS.json,
-    prints one row per task plus a summary line."""
+    """Per-task throughput table (VERDICT r3 #3): updates BENCH_TASKS.json,
+    prints one row per task.  A filtered invocation (task names as args)
+    merges into the existing table instead of clobbering the other rows."""
     names = [a for a in sys.argv[1:] if not a.startswith("-")] or None
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_TASKS.json")
     rows = {}
+    if names and os.path.exists(path):
+        with open(path) as f:
+            rows = json.load(f).get("rows", {})
     for task, batch in TASK_BENCH:
         if names and task not in names:
             continue
@@ -119,8 +125,7 @@ def tasks_main():
             "wall_s": round(time.perf_counter() - t0, 1),
         }
         print(json.dumps({"task": task, **rows[task]}), flush=True)
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_TASKS.json"), "w") as f:
+    with open(path, "w") as f:
         json.dump({"device": str(jax.devices()[0]), "rows": rows}, f,
                   indent=1)
 

@@ -161,15 +161,21 @@ def perform_benchmark(
           prior_sigma, len(ts_list))
     ent = _RUN_CACHE.get(ck)
     if ent is None or ent[0] is not core or ent[1] is not learner:
-        # bounded (ADVICE r3): entries pin the core AND its compiled
-        # executable for process lifetime; evict oldest beyond 16 so a long
-        # campaign over many (core, config) pairs cannot grow unboundedly.
-        # The strong refs held here also keep the id() keys unambiguous.
+        # bounded LRU (ADVICE r3): entries pin the core AND its compiled
+        # executable for process lifetime; evict least-recently-used beyond
+        # 16 so a long campaign over many (core, config) pairs cannot grow
+        # unboundedly.  Replacing a stale entry for the same key does not
+        # evict an unrelated one.  The strong refs held here also keep the
+        # id() keys unambiguous.
+        _RUN_CACHE.pop(ck, None)
         while len(_RUN_CACHE) >= 16:
             _RUN_CACHE.pop(next(iter(_RUN_CACHE)))
         _RUN_CACHE[ck] = (core, learner,
                           _build_run(learner, core, n_episodes, horizon,
                                      strategy, prior_sigma, len(ts_list)))
+    else:
+        # refresh recency on hit (dict preserves insertion order)
+        _RUN_CACHE[ck] = _RUN_CACHE.pop(ck)
     run = _RUN_CACHE[ck][2]
     done, ep_len, m = run(jax.random.PRNGKey(seed), list(ts_list))
     m = jax.device_get(m)

@@ -226,13 +226,14 @@ POSITION_GAIN = 0.1
 # paying the cold 3-refinement price once per policy step.
 import os as _os
 
-MOTOR_LCP_ITERS = int(_os.environ.get("PANDA_MOTOR_LCP_ITERS", "3"))
+MOTOR_LCP_ITERS = max(1, int(_os.environ.get("PANDA_MOTOR_LCP_ITERS", "3")))
 # refinements per substep when warm-starting from the previous substep's
 # active set (Bullet warm-starts its sequential-impulse solver the same
 # way): the set rarely changes between 1/500 s substeps, so one masked
 # solve from the carried set reproduces the cold-3 solution wherever the
 # cold solve converged (tests/test_motor_lcp.py pins this down).
-MOTOR_LCP_WARM_ITERS = int(_os.environ.get("PANDA_MOTOR_LCP_WARM_ITERS", "1"))
+MOTOR_LCP_WARM_ITERS = max(
+    1, int(_os.environ.get("PANDA_MOTOR_LCP_WARM_ITERS", "1")))
 
 # Motor LCP solver selection: "exact" (masked active-set, default) or
 # "pgs" (Bullet-emulating sequential impulse with PGS_ITERS sweeps —

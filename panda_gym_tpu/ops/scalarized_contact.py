@@ -400,9 +400,14 @@ def make_batched_contact_physics(
                 n_vel.append(v)
                 n_ang.append(om)
 
-            # warm-started LCP (active set carried across substeps; the
-            # cold pre-scan seed below ignores tau_ext — it only seeds the
-            # set, which the warm refinements correct within a substep)
+            # warm-started LCP (active set carried across substeps). The
+            # cold pre-scan seed below ignores tau_ext, so when contact
+            # torque shifts a motor across its cap the set correction
+            # lands one substep late (the warm refinement updates the set
+            # AFTER its solve) — a documented 1-substep lag, the same
+            # transient the warm chain has at any set transition; the
+            # per-env engine path seeds identically (engine.physics_step)
+            # so batched and per-env trajectories still match.
             q_new, qd_new, w2 = S.motor_substep(mc, list(qc), list(qdc),
                                                 list(tgt), dt, ctrl_mode,
                                                 tau_ext=tau_ext, warm=w)

@@ -480,13 +480,19 @@ class Trainer:
         interleave_min = getattr(cfg, "interleave_min_buffer", None)
         if interleave_min is None:
             interleave_min = max(2 * cfg.learning_starts, 20_000)
+        gate_open = False   # monotone: latch once open, no more host syncs
+
         def buffer_filled():
+            nonlocal gate_open
+            if gate_open:
+                return True
             # a full episode ring is maximal attainable diversity — open the
             # gate even if short episodes keep the transition count under
             # interleave_min (capacity_episodes * mean_ep_len < the gate)
-            if int(self.buffer.n_stored) >= int(self.buffer.ep_len.shape[0]):
-                return True
-            return int(jnp.sum(self.buffer.ep_len)) >= interleave_min
+            gate_open = (
+                int(self.buffer.n_stored) >= int(self.buffer.ep_len.shape[0])
+                or int(jnp.sum(self.buffer.ep_len)) >= interleave_min)
+            return gate_open
 
         while stage_steps < cfg.max_timesteps:
             key, k_c = jax.random.split(key)

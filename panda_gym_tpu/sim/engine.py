@@ -394,10 +394,13 @@ def make_physics_step(
         # Cold pre-solve: run the full active-set LCP once on the initial
         # system and keep only the converged set as the warm seed; every
         # substep in the scan then runs one warm refinement.  On converged
-        # sets the first substep is bit-identical to the old cold-3 path
-        # (the warm solve repeats the cold pass's final masked system);
-        # this structure is shared by all batched paths so per-env and
-        # batched trajectories stay bit-equal.
+        # sets with tau_ext=0 the first substep is bit-identical to the
+        # old cold-3 path (the warm solve repeats the cold pass's final
+        # masked system); under contact tau_ext the seed ignores the
+        # contact torque, so a set transition it causes lands one substep
+        # late (same transient as any warm set change).  This structure is
+        # shared by all batched paths so per-env and batched trajectories
+        # stay bit-equal.
         _, _, warm0 = D.motor_substep(
             model, state.q, state.qd, state.ctrl_target, dt, ctrl_mode,
             gravity=gravity, effort=effort, return_warm=True)

@@ -69,22 +69,31 @@ def main():
 
     cfg = TrainConfig()
     ts_list = []   # TrainStates or ("npz", actor, meta) sentinels
+    member_sde = []   # each member's ACTUAL actor type
     learner = None
     member_archs = []  # (run_dir, algorithm, net_arch) per ensemble member
     for run_dir in args.runs:
         cfg, ckpts = load_run(run_dir)
-        npz = os.path.join(run_dir, "best_model.policy.npz")
         if ckpts:
             with open(ckpts[-1], "rb") as f:
                 payload = pickle.load(f)
             ts = payload["ts"] if isinstance(payload, dict) and "ts" in payload \
                 else payload
-        elif os.path.exists(npz):
-            actor, meta = load_policy(npz)
-            cfg.hyperparams.use_sde = bool(meta.get("use_sde", False))
-            ts = ("npz", actor, meta)
+            from panda_gym_tpu.rl.learners import ckpt_uses_sde
+            member_sde.append(ckpt_uses_sde(ts))
         else:
-            raise SystemExit(f"no checkpoints in {run_dir}")
+            # actor-only exports (.gitignore keeps full ckpts out of git)
+            npz = None
+            for nm in ("best_model.policy.npz", "final_model.policy.npz"):
+                c = os.path.join(run_dir, nm)
+                if os.path.exists(c):
+                    npz = c
+                    break
+            if npz is None:
+                raise SystemExit(f"no checkpoints in {run_dir}")
+            actor, meta = load_policy(npz)
+            member_sde.append(bool(meta.get("use_sde", False)))
+            ts = ("npz", actor, meta)
         ts_list.append(ts)
         hp = getattr(cfg, "hyperparams", None)
         arch = None
@@ -116,13 +125,17 @@ def main():
 
     if ts_list:
         # pre-gSDE checkpoints carry the legacy Gaussian actor even under
-        # use_sde=True configs; align so the learner's param tree matches
-        # (npz members recorded their actual actor type at export and set
-        # hp.use_sde at load)
-        from panda_gym_tpu.rl.learners import align_sde_with_ckpt
-        lead = ts_list[0]
-        if not (isinstance(lead, tuple) and lead and lead[0] == "npz"):
-            align_sde_with_ckpt(cfg.hyperparams, lead)
+        # use_sde=True configs; align the learner to the members' ACTUAL
+        # actor type (recorded per member above, regardless of whether a
+        # member is a .ckpt or an actor-only .npz export) — and refuse
+        # mixed-actor ensembles, which one learner cannot serve
+        if len(set(member_sde)) > 1:
+            detail = "\n".join(f"  {d}: use_sde={s}"
+                               for (d, _, _), s in zip(member_archs,
+                                                       member_sde))
+            raise SystemExit(
+                f"ensemble members mix gSDE and Gaussian actors:\n{detail}")
+        cfg.hyperparams.use_sde = member_sde[0]
         probe = make_core("reachao1")
         import jax
         _, obs = jax.eval_shape(probe.reset, jax.random.PRNGKey(0))

@@ -14,6 +14,9 @@ OUT=docs/test_run_r4.txt
   echo "# cmd: python -m pytest tests/ -q"
   echo
   python -m pytest tests/ -q 2>&1
+  rc=$?
   echo
-  echo "# exit: $?"
+  echo "# exit: $rc"
+  exit $rc
 } | tee "$OUT"
+exit ${PIPESTATUS[0]}
