@@ -109,10 +109,21 @@ def tasks_main():
     names = [a for a in sys.argv[1:] if not a.startswith("-")] or None
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH_TASKS.json")
-    rows = {}
-    if names and os.path.exists(path):
+    # MERGE into the existing table (ADVICE r4): preserve unknown top-level
+    # keys (e.g. "provenance") and never silently clobber rows measured
+    # under a different engine state — each re-measured row gets fresh
+    # per-row provenance (date + engine), rows not re-measured keep theirs.
+    data = {}
+    if os.path.exists(path):
         with open(path) as f:
-            rows = json.load(f).get("rows", {})
+            data = json.load(f)
+    rows = data.get("rows", {})
+    import datetime
+
+    from panda_gym_tpu.ops import dynamics as _dyn
+    engine = (f"lcp={_dyn.LCP_MODE},warm_start={_dyn.LCP_WARM_START},"
+              f"warm_iters={_dyn.MOTOR_LCP_WARM_ITERS},"
+              f"cold_iters={_dyn.MOTOR_LCP_ITERS}")
     for task, batch in TASK_BENCH:
         if names and task not in names:
             continue
@@ -123,11 +134,16 @@ def tasks_main():
             "steps_per_sec": round(sps, 1),
             "vs_per_chip_target": round(sps / PER_CHIP_TARGET, 4),
             "wall_s": round(time.perf_counter() - t0, 1),
+            "date": datetime.date.today().isoformat(),
+            "engine": engine,
         }
         print(json.dumps({"task": task, **rows[task]}), flush=True)
-    with open(path, "w") as f:
-        json.dump({"device": str(jax.devices()[0]), "rows": rows}, f,
-                  indent=1)
+        # incremental persistence: a timeout/tunnel wedge mid-table keeps
+        # every row already measured
+        data["device"] = str(jax.devices()[0])
+        data["rows"] = rows
+        with open(path, "w") as f:
+            json.dump(data, f, indent=1)
 
 
 def _watchdog_main():

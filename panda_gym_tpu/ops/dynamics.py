@@ -235,6 +235,14 @@ MOTOR_LCP_ITERS = max(1, int(_os.environ.get("PANDA_MOTOR_LCP_ITERS", "3")))
 MOTOR_LCP_WARM_ITERS = max(
     1, int(_os.environ.get("PANDA_MOTOR_LCP_WARM_ITERS", "1")))
 
+# Whether the batched physics paths carry the warm active set across
+# substeps (cold pre-solve + 1 warm refinement/substep) or run the cold
+# 3-refinement solve per substep with no carry.  Both are exact along real
+# rollouts (tests/test_motor_lcp.py); which is FASTER is path-dependent —
+# measured per task on the real chip in BENCH_TASKS.json (bench.py --tasks
+# under PANDA_LCP_WARM=0/1 A/Bs it without code changes).
+LCP_WARM_START = _os.environ.get("PANDA_LCP_WARM", "1") != "0"
+
 # Motor LCP solver selection: "exact" (masked active-set, default) or
 # "pgs" (Bullet-emulating sequential impulse with PGS_ITERS sweeps —
 # PyBullet's numSolverIterations default is 50).  The exact solve is the
@@ -242,6 +250,27 @@ MOTOR_LCP_WARM_ITERS = max(
 # values for cross-engine parity fixtures (test/pybullet_test.py:156-187).
 LCP_MODE = "exact"
 PGS_ITERS = 50
+
+
+def set_lcp_mode(mode: str, pgs_iters=None) -> None:
+    """Switch the motor-LCP solver ("exact" / "pgs") safely.
+
+    LCP_MODE/PGS_ITERS are read at TRACE time: flipping the bare globals
+    after a jitted caller has compiled silently no-ops for that caller (the
+    cached executable keeps the old branch — ADVICE r4).  This setter flips
+    the globals AND drops every cached jax compilation, so the next call of
+    any jitted engine path re-traces under the new mode.
+    """
+    global LCP_MODE, PGS_ITERS
+    if mode not in ("exact", "pgs"):
+        raise ValueError(f"unknown LCP mode {mode!r} (exact|pgs)")
+    if pgs_iters is not None:
+        PGS_ITERS = int(pgs_iters)
+    if mode != LCP_MODE:
+        LCP_MODE = mode
+        import jax
+
+        jax.clear_caches()
 
 CTRL_POSITION = 0
 CTRL_VELOCITY = 1

@@ -652,20 +652,39 @@ def motor_substep(mc: ModelConsts, q, qd, target, dt: float, control_mode: int,
 
 
 def make_batched_motor_steps(model: ChainModel, *, n_substeps: int, dt: float,
-                             ctrl_mode: int):
+                             ctrl_mode: int, warm_start=None):
     """Batched n-substep robot physics: (B, ndof) in/out, batch-last layout
-    internally, substeps under lax.scan with component-tuple carry."""
+    internally, substeps under lax.scan with component-tuple carry.
+
+    warm_start: carry the LCP active set across substeps (cold pre-solve +
+    1 warm refinement each) vs the cold 3-refinement solve per substep.
+    Both are exact (tests/test_motor_lcp.py); speed is path-dependent —
+    see dynamics.LCP_WARM_START.  None -> that global default."""
+    from panda_gym_tpu.ops.dynamics import LCP_WARM_START
+    if warm_start is None:
+        warm_start = LCP_WARM_START
     mc = consts_from_model(model)
     ndof = mc.ndof
 
     def step(q, qd, target):
         tgt = tuple(target[:, d] for d in range(ndof))
+        q0 = [q[:, d] for d in range(ndof)]
+        qd0 = [qd[:, d] for d in range(ndof)]
+
+        if not warm_start:
+            def body_cold(carry, _):
+                qc, qdc = carry
+                q2, qd2 = motor_substep(mc, list(qc), list(qdc), list(tgt),
+                                        dt, ctrl_mode)
+                return (tuple(q2), tuple(qd2)), None
+
+            (qc, qdc), _ = jax.lax.scan(
+                body_cold, (tuple(q0), tuple(qd0)), None, length=n_substeps)
+            return jnp.stack(qc, axis=-1), jnp.stack(qdc, axis=-1)
 
         # cold pre-solve seeds the warm active set; all substeps run one
         # warm refinement (identical structure across every physics path —
         # see engine.make_physics_step)
-        q0 = [q[:, d] for d in range(ndof)]
-        qd0 = [qd[:, d] for d in range(ndof)]
         _, _, warm = motor_substep(mc, q0, qd0, list(tgt), dt, ctrl_mode,
                                    return_warm=True)
 

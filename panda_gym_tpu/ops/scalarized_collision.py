@@ -276,10 +276,18 @@ def make_batched_collision_physics(
     moving_obstacles: bool = False,
     skip_table_groups: Tuple[int, ...] = (0,),
     max_distance: float = 999.0,
+    warm_start=None,
 ):
     """Batched equivalent of engine.make_physics_step for the
     check_collision configuration (no free bodies): operates on a batched
-    EnvState, returns a new batched EnvState."""
+    EnvState, returns a new batched EnvState.
+
+    warm_start: LCP active-set carry across substeps vs the cold
+    3-refinement solve per substep (both exact; speed is path-dependent —
+    see dynamics.LCP_WARM_START).  None -> that global default."""
+    from panda_gym_tpu.ops.dynamics import LCP_WARM_START
+    if warm_start is None:
+        warm_start = LCP_WARM_START
     mc = S.consts_from_model(model)
     ndof = mc.ndof
     ngroup = mc.ngroup
@@ -300,9 +308,14 @@ def make_batched_collision_physics(
             # warm-started across substeps (seeded by a cold pre-scan
             # solve of the first substep's system, so iteration 1 of the
             # scan refines from an already-converged set)
-            q_new, qd_new, w2 = S.motor_substep(mc, list(qc), list(qdc),
-                                                list(tgt), dt, ctrl_mode,
-                                                warm=w)
+            if warm_start:
+                q_new, qd_new, w2 = S.motor_substep(mc, list(qc), list(qdc),
+                                                    list(tgt), dt, ctrl_mode,
+                                                    warm=w)
+            else:
+                q_new, qd_new = S.motor_substep(mc, list(qc), list(qdc),
+                                                list(tgt), dt, ctrl_mode)
+                w2 = w   # dead carry in cold mode
             if moving_obstacles:
                 opos_new = [S.vadd(opos[j], S.vscale(dt, ovel[j]))
                             for j in range(n_obstacles)]
@@ -352,10 +365,16 @@ def make_batched_collision_physics(
 
         q0 = tuple(states.q[:, d] for d in range(ndof))
         qd0 = tuple(states.qd[:, d] for d in range(ndof))
-        # cold pre-scan solve: discard the state, keep the converged active
-        # set as the scan's initial warm carry (bit-identical first substep)
-        _, _, warm0 = S.motor_substep(mc, list(q0), list(qd0), list(tgt),
-                                      dt, ctrl_mode, return_warm=True)
+        if warm_start:
+            # cold pre-scan solve: discard the state, keep the converged
+            # active set as the scan's initial warm carry (bit-identical
+            # first substep)
+            _, _, warm0 = S.motor_substep(mc, list(q0), list(qd0),
+                                          list(tgt), dt, ctrl_mode,
+                                          return_warm=True)
+        else:
+            zero = [jnp.zeros_like(q0[d]) for d in range(ndof)]
+            warm0 = (tuple(z.astype(bool) for z in zero), tuple(zero))
         carry0 = (
             q0, qd0,
             tuple(tuple(states.obstacle_pos[:, j, k] for k in range(3))

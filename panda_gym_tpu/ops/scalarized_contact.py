@@ -141,9 +141,16 @@ def make_batched_contact_physics(
     ctrl_mode: int,
     robot_contact: bool,
     body_pairs: Sequence[Tuple[int, int]] = (),
+    warm_start=None,
 ):
     """Batched equivalent of engine.make_physics_step for tasks with free
-    rigid bodies (no per-substep collision check)."""
+    rigid bodies (no per-substep collision check).
+
+    warm_start: LCP active-set carry vs cold per-substep solve (see
+    dynamics.LCP_WARM_START); None -> that global default."""
+    from panda_gym_tpu.ops.dynamics import LCP_WARM_START
+    if warm_start is None:
+        warm_start = LCP_WARM_START
     mc = S.consts_from_model(model)
     ndof = mc.ndof
     nb = int(scene.nb)
@@ -408,16 +415,27 @@ def make_batched_contact_physics(
             # transient the warm chain has at any set transition; the
             # per-env engine path seeds identically (engine.physics_step)
             # so batched and per-env trajectories still match.
-            q_new, qd_new, w2 = S.motor_substep(mc, list(qc), list(qdc),
+            if warm_start:
+                q_new, qd_new, w2 = S.motor_substep(mc, list(qc), list(qdc),
+                                                    list(tgt), dt, ctrl_mode,
+                                                    tau_ext=tau_ext, warm=w)
+            else:
+                q_new, qd_new = S.motor_substep(mc, list(qc), list(qdc),
                                                 list(tgt), dt, ctrl_mode,
-                                                tau_ext=tau_ext, warm=w)
+                                                tau_ext=tau_ext)
+                w2 = w   # dead carry in cold mode
             return (tuple(q_new), tuple(qd_new), tuple(n_pos), tuple(n_quat),
                     tuple(n_vel), tuple(n_ang), w2), None
 
         q0 = tuple(states.q[:, d] for d in range(ndof))
         qd0 = tuple(states.qd[:, d] for d in range(ndof))
-        _, _, warm0 = S.motor_substep(mc, list(q0), list(qd0), list(tgt),
-                                      dt, ctrl_mode, return_warm=True)
+        if warm_start:
+            _, _, warm0 = S.motor_substep(mc, list(q0), list(qd0),
+                                          list(tgt), dt, ctrl_mode,
+                                          return_warm=True)
+        else:
+            zero = [jnp.zeros_like(q0[d]) for d in range(ndof)]
+            warm0 = (tuple(z.astype(bool) for z in zero), tuple(zero))
         carry0 = (
             q0, qd0,
             tuple(tuple(states.body_pos[:, b, k] for k in range(3))

@@ -479,7 +479,15 @@ class Trainer:
         # transitions, fall back to collect + one end-of-rollout burst.
         interleave_min = getattr(cfg, "interleave_min_buffer", None)
         if interleave_min is None:
-            interleave_min = max(2 * cfg.learning_starts, 20_000)
+            # Scale the gate with UPDATE PRESSURE, not just learning_starts
+            # (ADVICE r4): the flat 20k floor permitted the documented
+            # n_envs=512 resume collapse (32 upd/env-step against a
+            # single-rollout fresh buffer, eval 0.38->0.07).  Each fused
+            # env step consumes n_upd_per_step * batch_size samples; gate
+            # until the buffer holds >= 8 such bursts' worth so early
+            # interleaved updates cannot overfit a near-empty ring.
+            interleave_min = max(2 * cfg.learning_starts, 20_000,
+                                 8 * n_upd_per_step * batch_size)
         gate_open = False   # monotone: latch once open, no more host syncs
 
         def buffer_filled():

@@ -96,6 +96,7 @@ class Simulation:
         model = make_panda_model(base_position=base_position, gripper=gripper,
                                  inertia=inertia)
         self._robot_model = model
+        self._robot_inertia = inertia
         self._robot_name = body_name
         self._ctrl_mode = (D.CTRL_VELOCITY if control_mode == "velocity"
                            else D.CTRL_POSITION)
@@ -412,8 +413,23 @@ class Simulation:
                                               link))
 
     def get_link_orientation(self, body_name: str, link: int) -> np.ndarray:
-        """pybullet.py:262-273 (xyzw quaternion of the URDF link frame)."""
+        """pybullet.py:262-273 — getLinkState linkWorldOrientation, i.e. the
+        CoM/inertial frame (xyzw).  For stock-inertia robots the fitted
+        per-link inertial-frame z-rotation is applied on the local side
+        (panda_constants.BULLET_STOCK_LINK_FRAME_ROT_Z — closes the last
+        golden-parity waiver to the reference's own atol=1e-3)."""
         R, _p = K.site_frame(self._robot_model, self._fk(), link)
+        if getattr(self, "_robot_inertia", "custom") == "stock":
+            from panda_gym_tpu.models.panda_constants import (
+                BULLET_STOCK_LINK_FRAME_ROT_Z,
+            )
+            ang = BULLET_STOCK_LINK_FRAME_ROT_Z.get(link)
+            if ang is not None:
+                c, s = np.cos(ang), np.sin(ang)
+                Rz = jnp.asarray(
+                    [[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]],
+                    dtype=R.dtype)
+                R = R @ Rz
         return np.asarray(mat_to_quat(R))
 
     def get_link_velocity(self, body_name: str, link: int) -> np.ndarray:

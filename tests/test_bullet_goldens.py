@@ -34,11 +34,13 @@ the reference's own atol=1e-3.  The round-3 hypothesis that the gap came
 from Bullet's 50 PGS iterations was ruled out: a 50-sweep sequential-
 impulse solve (ops/dynamics.py LCP_MODE="pgs") agrees with our exact
 active-set solve to 4 decimals; the gap was wrist mass distribution.
-Remaining known delta: orientation components ±0.0221 vs golden ±0.02
-(2.1e-3) — the goldens imply the stock URDF's link-5 inertial frame
-carries a small fixed rotation (~0.006 rad about z) that the in-tree
-geometry cannot reproduce (getLinkState reports the CoM/inertial frame);
-the joint-angle golden (0.063) pins the actual rotation and matches.
+Orientation: getLinkState reports the CoM/inertial frame, which for stock
+link 5 is rotated a fixed -6.0399e-3 rad about local z relative to the
+URDF link frame (residual axis measured as exactly [0,0,-1] — a frame
+constant).  Fitted once (panda_constants.BULLET_STOCK_LINK_FRAME_ROT_Z,
+round-5, same method as the wrist scalar) the orientation golden passes
+at the reference's own atol=1e-3; the joint-angle golden (0.063) pins
+that the underlying rotation state is untouched.  No waivers remain.
 """
 import numpy as np
 import pytest
@@ -95,10 +97,16 @@ def test_joint_angle_golden(stepped_sim):
 
 @pytest.mark.slow
 def test_link_orientation_golden(stepped_sim):
-    """test/pybullet_test.py:139-153 (reference atol 1e-3; ours 3e-3)."""
+    """test/pybullet_test.py:139-153 at the reference's own atol=1e-3.
+
+    getLinkState reports the CoM/inertial frame; the fitted link-5
+    inertial-frame z-rotation (panda_constants.
+    BULLET_STOCK_LINK_FRAME_ROT_Z, -6.0399e-3 rad — axis exactly
+    [0,0,-1]) closes the last parity waiver; the joint-angle and
+    velocity goldens pin that the underlying state is untouched."""
     quat = stepped_sim.get_link_orientation("robot", 5)
     np.testing.assert_allclose(
-        quat, [0.707, -0.02, 0.02, 0.707], atol=3e-3)
+        quat, [0.707, -0.02, 0.02, 0.707], atol=1e-3)
 
 
 IK_GOLDEN = np.array([1.000, 1.223, -1.113, -0.021, -0.917, 0.666, -0.499])

@@ -151,10 +151,12 @@ def test_pgs_mode_agrees_with_exact(model):
 
     q_e, qd_e = D.motor_substep(model, q, qd, target, DT, D.CTRL_POSITION)
     try:
-        D.LCP_MODE = "pgs"
+        # set_lcp_mode (not a bare global write) drops cached compilations
+        # so jitted callers cannot keep the stale branch (ADVICE r4)
+        D.set_lcp_mode("pgs")
         q_p, qd_p = D.motor_substep(model, q, qd, target, DT,
                                     D.CTRL_POSITION)
     finally:
-        D.LCP_MODE = "exact"
+        D.set_lcp_mode("exact")
     np.testing.assert_allclose(np.asarray(qd_p), np.asarray(qd_e), atol=2e-4)
     np.testing.assert_allclose(np.asarray(q_p), np.asarray(q_e), atol=1e-6)
