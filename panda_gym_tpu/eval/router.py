@@ -81,12 +81,20 @@ def stack_members(actor_params_list: List[Any]):
 def member_mean_std(actor, members, x):
     """(K, B, A) deterministic means and marginal stds of every member.
 
-    actor: the shared SDEGaussianActor module (weights come from `members`).
+    actor: the shared actor module (weights come from `members`) — either
+    the legacy SquashedGaussianActor (2 outputs: mean, log_std; what every
+    campaign checkpoint through round 4 carries) or SDEGaussianActor
+    (3 outputs: mean, latent, log_std).  The arity is static at trace
+    time, so both branch-free compile.
     """
 
     def one(params):
-        mean, latent, log_std = actor.apply(params, x)
-        return jnp.tanh(mean), sde_std(latent, log_std)
+        out = actor.apply(params, x)
+        if len(out) == 3:            # gSDE actor
+            mean, latent, log_std = out
+            return jnp.tanh(mean), sde_std(latent, log_std)
+        mean, log_std = out          # squashed-Gaussian actor
+        return jnp.tanh(mean), jnp.exp(log_std)
 
     return jax.vmap(one)(members)
 

@@ -239,9 +239,19 @@ MOTOR_LCP_WARM_ITERS = max(
 # substeps (cold pre-solve + 1 warm refinement/substep) or run the cold
 # 3-refinement solve per substep with no carry.  Both are exact along real
 # rollouts (tests/test_motor_lcp.py); which is FASTER is path-dependent —
-# measured per task on the real chip in BENCH_TASKS.json (bench.py --tasks
-# under PANDA_LCP_WARM=0/1 A/Bs it without code changes).
+# measured per task on the real chip in BENCH_TASKS.json (round 5: warm
+# wins the contact-free reach path; cold wins the collision paths, where
+# the carried set serializes against the collision sweep).  Each step
+# builder bakes its measured winner as the path default;
+# PANDA_LCP_WARM=0/1 overrides ALL paths for A/B without code changes.
 LCP_WARM_START = _os.environ.get("PANDA_LCP_WARM", "1") != "0"
+
+
+def lcp_warm_default(path_default: bool) -> bool:
+    """Path default unless PANDA_LCP_WARM is set explicitly in the env."""
+    if "PANDA_LCP_WARM" in _os.environ:
+        return LCP_WARM_START
+    return path_default
 
 # Motor LCP solver selection: "exact" (masked active-set, default) or
 # "pgs" (Bullet-emulating sequential impulse with PGS_ITERS sweeps —

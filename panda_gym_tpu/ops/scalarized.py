@@ -238,7 +238,25 @@ class ModelConsts:
     site_com: Tuple = ()
 
 
+_MODEL_CONSTS_CACHE: dict = {}
+
+
 def consts_from_model(model: ChainModel) -> ModelConsts:
+    # memoized per model object: the np.asarray calls below pull the
+    # ChainModel's device arrays to host, and on the TPU tunnel each
+    # device->host batch can stall for minutes when the transfer service
+    # wedges (round-5 diagnosis).  Every batched physics/obs builder calls
+    # this; one conversion per model is enough.  The cache also keeps the
+    # model object alive, so the id() key stays unambiguous.
+    ent = _MODEL_CONSTS_CACHE.get(id(model))
+    if ent is not None and ent[0] is model:
+        return ent[1]
+    mc = _consts_from_model(model)
+    _MODEL_CONSTS_CACHE[id(model)] = (model, mc)
+    return mc
+
+
+def _consts_from_model(model: ChainModel) -> ModelConsts:
     g = lambda a: np.asarray(a, dtype=np.float64)
     return ModelConsts(
         ndof=model.ndof,
@@ -659,10 +677,14 @@ def make_batched_motor_steps(model: ChainModel, *, n_substeps: int, dt: float,
     warm_start: carry the LCP active set across substeps (cold pre-solve +
     1 warm refinement each) vs the cold 3-refinement solve per substep.
     Both are exact (tests/test_motor_lcp.py); speed is path-dependent —
-    see dynamics.LCP_WARM_START.  None -> that global default."""
-    from panda_gym_tpu.ops.dynamics import LCP_WARM_START
+    warm stays this contact-free path's default (reach warm 6.03M steps/s
+    round-4/5 vs 5.61M round-3 pre-warm; the round-5 same-session cold
+    re-measure timed out on a >9-min first compile and is parked — the
+    collision paths, where cold decisively wins, default cold instead);
+    PANDA_LCP_WARM=0/1 overrides."""
+    from panda_gym_tpu.ops.dynamics import lcp_warm_default
     if warm_start is None:
-        warm_start = LCP_WARM_START
+        warm_start = lcp_warm_default(True)
     mc = consts_from_model(model)
     ndof = mc.ndof
 

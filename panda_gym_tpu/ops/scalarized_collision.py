@@ -283,11 +283,17 @@ def make_batched_collision_physics(
     EnvState, returns a new batched EnvState.
 
     warm_start: LCP active-set carry across substeps vs the cold
-    3-refinement solve per substep (both exact; speed is path-dependent —
-    see dynamics.LCP_WARM_START).  None -> that global default."""
-    from panda_gym_tpu.ops.dynamics import LCP_WARM_START
+    3-refinement solve per substep.  Both are exact
+    (tests/test_motor_lcp.py); speed is path-dependent.  Default False for
+    THIS path: round-5 same-session A/B on the real chip measured the cold
+    solve decisively faster here (reachao1 2.71M vs 1.93M steps/s,
+    reachao2 1.14M vs 0.97M — BENCH_TASKS.json) because the carried
+    boolean set serializes against the per-substep collision sweep while
+    the inline cold refinements fuse.  PANDA_LCP_WARM=0/1 in the env
+    overrides every path for A/B."""
+    from panda_gym_tpu.ops.dynamics import lcp_warm_default
     if warm_start is None:
-        warm_start = LCP_WARM_START
+        warm_start = lcp_warm_default(False)
     mc = S.consts_from_model(model)
     ndof = mc.ndof
     ngroup = mc.ngroup

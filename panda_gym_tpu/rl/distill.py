@@ -52,8 +52,8 @@ def collect_labeled(core, actor, members, mask, n_episodes: int,
         return masked_bayesian_fusion(means, stds, mask)
 
     def student(x):
-        mean, _latent, _ls = actor.apply(student_params, x)
-        return jnp.tanh(mean)
+        out = actor.apply(student_params, x)   # arity static: SDE=3, legacy=2
+        return jnp.tanh(out[0])
 
     def step_fn(carry, _):
         states, obs, done = carry
@@ -95,8 +95,8 @@ def bc_train(actor, params, X: np.ndarray, A: np.ndarray, *,
     @jax.jit
     def train_step(params, opt, xb, ab):
         def loss_fn(params):
-            mean, _latent, _ls = actor.apply(params, xb)
-            return jnp.mean((jnp.tanh(mean) - ab) ** 2)
+            out = actor.apply(params, xb)      # SDE=3 outputs, legacy=2
+            return jnp.mean((jnp.tanh(out[0]) - ab) ** 2)
         loss, g = jax.value_and_grad(loss_fn)(params)
         up, opt = tx.update(g, opt, params)
         return optax.apply_updates(params, up), opt, loss

@@ -275,11 +275,21 @@ def make_physics_step(
     timestep: float = TIMESTEP,
     gravity: Tuple[float, float, float] = (0.0, 0.0, -9.81),
     effort=None,
+    warm_start=None,
 ):
     """Build the jit-able physics step: n_substeps of `timestep` (pybullet
     dt semantics, pybullet.py:63-71; defaults 20 x 1/500 s).  `effort`
     optionally overrides the per-joint motor force clamp (the facade's
-    control_joints forces argument, pybullet.py:437-463)."""
+    control_joints forces argument, pybullet.py:437-463).
+
+    warm_start: carry the motor-LCP active set across substeps vs the cold
+    3-refinement solve per substep.  Default mirrors the task's BATCHED
+    path so per-env and batched trajectories stay bit-equal: cold for
+    check_collision configs (where cold also measures faster —
+    ops/scalarized_collision.py), warm otherwise.  PANDA_LCP_WARM
+    overrides (dynamics.lcp_warm_default)."""
+    if warm_start is None:
+        warm_start = D.lcp_warm_default(not check_collision)
     dt = timestep
     grav = jnp.asarray(gravity)
     nb = scene.nb
@@ -391,6 +401,17 @@ def make_physics_step(
         return new_state, warm
 
     def physics_step(state: EnvState) -> EnvState:
+        if not warm_start:
+            # cold 3-refinement solve per substep, no carry — matches the
+            # cold batched paths (collision configs) bit-for-bit
+            def body_cold(s, _):
+                s2, _w = substep(s, None)
+                return s2, None
+
+            out, _ = jax.lax.scan(body_cold, state, None,
+                                  length=n_substeps)
+            return out
+
         # Cold pre-solve: run the full active-set LCP once on the initial
         # system and keep only the converged set as the warm seed; every
         # substep in the scan then runs one warm refinement.  On converged
@@ -399,8 +420,8 @@ def make_physics_step(
         # masked system); under contact tau_ext the seed ignores the
         # contact torque, so a set transition it causes lands one substep
         # late (same transient as any warm set change).  This structure is
-        # shared by all batched paths so per-env and batched trajectories
-        # stay bit-equal.
+        # shared by the warm batched paths so per-env and batched
+        # trajectories stay bit-equal.
         _, _, warm0 = D.motor_substep(
             model, state.q, state.qd, state.ctrl_target, dt, ctrl_mode,
             gravity=gravity, effort=effort, return_warm=True)

@@ -179,17 +179,24 @@ def build_scene(
     mu = np.array([b.get("mu", 0.5) for b in bodies], dtype=np.float32)
     inertia = np.stack([_shape_inertia(int(s), sz, m) for s, sz, m in zip(shp, size, mass)])
     samples, masks = zip(*[_shape_samples(int(s), sz) for s, sz in zip(shp, size)])
+    # HOST-side (numpy) leaves, deliberately: SceneParams is static per env
+    # class and only ever read — inside jit the numpy constants fold into
+    # the graph for free, while the batched physics BUILDERS read them with
+    # np.asarray at trace time.  When these were device (jnp) arrays, every
+    # builder call paid a device->host transfer through the TPU tunnel —
+    # the round-4/5 "compile stall" wedge was tracing blocked on exactly
+    # that transfer (scalarized_collision.py np.asarray(scene.table_*)).
     return SceneParams(
-        body_shape=jnp.asarray(shp),
-        body_size=jnp.asarray(size),
-        body_mass=jnp.asarray(mass),
-        body_mu=jnp.asarray(mu),
-        body_inertia=jnp.asarray(np.asarray(inertia, dtype=np.float32)),
-        body_samples=jnp.asarray(np.stack(samples)),
-        body_sample_mask=jnp.asarray(np.stack(masks)),
-        table_half=jnp.asarray(np.array([table_length, table_width, table_height], np.float32) / 2),
-        table_center=jnp.asarray(np.array([table_x_offset, 0.0, -table_height / 2], np.float32)),
-        table_mu=jnp.asarray(np.float32(table_mu)),
-        plane_z=jnp.asarray(np.float32(plane_z)),
+        body_shape=np.asarray(shp),
+        body_size=np.asarray(size, np.float32),
+        body_mass=np.asarray(mass, np.float32),
+        body_mu=np.asarray(mu, np.float32),
+        body_inertia=np.asarray(inertia, dtype=np.float32),
+        body_samples=np.stack(samples).astype(np.float32),
+        body_sample_mask=np.stack(masks).astype(np.float32),
+        table_half=np.array([table_length, table_width, table_height], np.float32) / 2,
+        table_center=np.array([table_x_offset, 0.0, -table_height / 2], np.float32),
+        table_mu=np.float32(table_mu),
+        plane_z=np.float32(plane_z),
         nb=nb,
     )

@@ -71,26 +71,41 @@ CONTROLLERS = {
 
 
 def load_actor_params(run_dir: str):
-    """best_model actor params from .policy.npz (preferred) or .ckpt."""
+    """best_model actor params from .policy.npz (preferred) or .ckpt.
+
+    Returns (actor_params, uses_sde).  The campaign checkpoints through
+    round 4 all carry the LEGACY squashed-Gaussian actor even under
+    use_sde=True configs (the pre-gSDE remap — rl/learners.py
+    align_sde_with_ckpt); the pool just needs every member to agree.
+    """
     from panda_gym_tpu.rl.policy_io import load_policy
     npz = os.path.join(run_dir, "best_model.policy.npz")
     if os.path.exists(npz):
         actor, meta = load_policy(npz)
-        if not meta.get("use_sde", False):
-            raise SystemExit(f"{run_dir}: non-gSDE actor in pool")
-        return actor
+        return actor, bool(meta.get("use_sde", False))
     ckpt = os.path.join(run_dir, "best_model.ckpt")
     with open(ckpt, "rb") as f:
         payload = pickle.load(f)
     ts = payload["ts"] if isinstance(payload, dict) and "ts" in payload \
         else payload
     from panda_gym_tpu.rl.learners import ckpt_uses_sde
-    if not ckpt_uses_sde(ts):
-        raise SystemExit(f"{run_dir}: non-gSDE actor in pool")
-    return ts.actor_params
+    return ts.actor_params, ckpt_uses_sde(ts)
 
 
 def main():
+    # `kill -USR1 <pid>` dumps thread stacks without killing the run —
+    # tunnel hangs are diagnosable (docs/guide/performance.md)
+    import faulthandler
+    import signal
+    faulthandler.register(signal.SIGUSR1)
+
+    # honor JAX_PLATFORMS even where a site hook (e.g. the axon TPU
+    # plugin) overrides the env var: jax.config takes precedence at
+    # backend init (same pattern as tools/train.py)
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     p = argparse.ArgumentParser()
     p.add_argument("--collect-episodes", type=int, default=64)
     p.add_argument("--collect-horizon", type=int, default=300)
@@ -98,7 +113,20 @@ def main():
                    help="router training steps")
     p.add_argument("--out", default="training/run_data/round5_campaign/"
                                     "routed_gen")
+    p.add_argument("--collect-only", action="store_true",
+                   help="collect labeled obs for --scenarios (default all) "
+                        "into <out>/data/collect_<scene>.npz and exit — "
+                        "run several in parallel to shard the per-scene "
+                        "compiles over processes")
+    p.add_argument("--train-from-data", action="store_true",
+                   help="skip collection; train the router from the "
+                        "<out>/data parts written by --collect-only")
     p.add_argument("--benchmark", action="store_true")
+    p.add_argument("--benchmark-only", action="store_true",
+                   help="skip collection/training; load the existing "
+                        "routed_policy.npz from --out and benchmark it "
+                        "(e.g. train on the fast-compiling CPU backend, "
+                        "then claim numbers on the real chip)")
     p.add_argument("--episodes", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--scenarios", nargs="+", default=None)
@@ -143,11 +171,22 @@ def main():
     print(f"pool: {len(member_dirs)} members, {n_ctrl} controllers")
 
     # one shared learner graph (all members are TQC [256,256] gSDE)
+    if args.benchmark_only:
+        _policy, _meta = load_routed_policy(artifact)
+        pool_sde = bool(_meta.get("use_sde", False))
+        loaded = None
+    else:
+        loaded = [load_actor_params(d) for d in member_dirs]
+        sde_flags = {d: s for d, (_a, s) in zip(member_dirs, loaded)}
+        if len(set(sde_flags.values())) != 1:
+            raise SystemExit(f"pool mixes actor types: {sde_flags}")
+        pool_sde = next(iter(sde_flags.values()))
+
     cfg, _ = load_run(f"{R4}/tqc_r4_gen")
     cfg.safety_distance = 0.0
     if not isinstance(getattr(cfg, "hyperparams", None), Hyperparameters):
         cfg.hyperparams = Hyperparameters(cfg.algorithm)
-    cfg.hyperparams.use_sde = True
+    cfg.hyperparams.use_sde = pool_sde
 
     cores = {}
 
@@ -166,148 +205,191 @@ def main():
     x_dim = obs["observation"].shape[0] + 2 * obs["achieved_goal"].shape[0]
     learner = make_learner(cfg.algorithm, x_dim, probe.robot.action_dim,
                            cfg.hyperparams)
-    members = stack_members([load_actor_params(d) for d in member_dirs])
+    if not args.benchmark_only:
+        members = stack_members([a for a, _s in loaded])
     actor = learner.actor
 
-    # ---- 2. collect labeled obs ------------------------------------------
-    def collect(sc, mask, key):
-        """Roll the masked controller on scene `sc`; return (X, active).
-        `sc` is a STATIC jit arg (string) — the core it names is a Python
-        object looked up from `cores`, one trace per scene."""
-        core = cores[sc]
+    if not args.benchmark_only:
+        # ---- 2. collect labeled obs ------------------------------------------
+        def collect(sc, mask, key):
+            """Roll the masked controller on scene `sc`; return (X, active).
+            `sc` is a STATIC jit arg (string) — the core it names is a Python
+            object looked up from `cores`, one trace per scene."""
+            core = cores[sc]
 
-        def step_fn(carry, _):
-            states, obs, done = carry
-            from panda_gym_tpu.rl.train import flat_x
-            x = flat_x(obs)
-            means, stds = member_mean_std(actor, members, x)
-            action = masked_bayesian_fusion(means, stds, mask)
-            nstates, nobs, _r, term, trunc, _info = core.batched_step(
-                states, action)
-            keep = lambda old, new: jnp.where(
-                done.reshape((-1,) + (1,) * (new.ndim - 1)), old, new)
-            states = jax.tree_util.tree_map(keep, states, nstates)
-            obs = jax.tree_util.tree_map(keep, obs, nobs)
-            out = (x, ~done)
-            done = done | term | trunc
-            return (states, obs, done), out
+            def step_fn(carry, _):
+                states, obs, done = carry
+                from panda_gym_tpu.rl.train import flat_x
+                x = flat_x(obs)
+                means, stds = member_mean_std(actor, members, x)
+                action = masked_bayesian_fusion(means, stds, mask)
+                nstates, nobs, _r, term, trunc, _info = core.batched_step(
+                    states, action)
+                keep = lambda old, new: jnp.where(
+                    done.reshape((-1,) + (1,) * (new.ndim - 1)), old, new)
+                states = jax.tree_util.tree_map(keep, states, nstates)
+                obs = jax.tree_util.tree_map(keep, obs, nobs)
+                out = (x, ~done)
+                done = done | term | trunc
+                return (states, obs, done), out
 
-        keys = jax.random.split(key, args.collect_episodes)
-        states, obs0 = jax.vmap(core.reset)(keys)
-        done0 = jnp.zeros(args.collect_episodes, bool)
-        (_s, _o, _d), (X, act) = jax.lax.scan(
-            step_fn, (states, obs0, done0), None,
-            length=args.collect_horizon)
-        return X, act
+            keys = jax.random.split(key, args.collect_episodes)
+            states, obs0 = jax.vmap(core.reset)(keys)
+            done0 = jnp.zeros(args.collect_episodes, bool)
+            (_s, _o, _d), (X, act) = jax.lax.scan(
+                step_fn, (states, obs0, done0), None,
+                length=args.collect_horizon)
+            return X, act
 
-    collect_j = jax.jit(collect, static_argnums=(0,))
+        collect_j = jax.jit(collect, static_argnums=(0,))
 
-    Xs, ys = [], []
-    key = jax.random.PRNGKey(args.seed + 1234)
-    for sc in CONTROLLERS:
-        key, k = jax.random.split(key)
-        make_core(sc)
+        data_dir = os.path.join(args.out, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        if args.train_from_data:
+            # parts written by parallel --collect-only workers
+            Xs, ys = [], []
+            for sc in CONTROLLERS:
+                part = os.path.join(data_dir, f"collect_{sc}.npz")
+                if not os.path.exists(part):
+                    raise SystemExit(f"missing {part} (collect it first)")
+                with np.load(part) as z:
+                    Xs.append(z["X"])
+                    ys.append(z["y"])
+                print(f"loaded {part}: {len(Xs[-1])} obs", flush=True)
+        else:
+            # per-scene collection — shardable across processes: each
+            # --collect-only invocation handles its --scenarios subset and
+            # writes one part per scene (scene PRNG folded from the scene
+            # name, so sharding does not change the data)
+            Xs, ys = [], []
+            scenes = args.scenarios or list(CONTROLLERS)
+            import zlib
+            for sc in scenes:
+                # crc32, not hash(): str hash is salted per process, which
+                # would make sharded collection non-deterministic
+                k = jax.random.fold_in(
+                    jax.random.PRNGKey(args.seed + 1234),
+                    zlib.crc32(sc.encode()) % (2 ** 31))
+                make_core(sc)
+                t0 = time.time()
+                X, act = collect_j(sc, masks[scene_to_ctrl[sc]], k)
+                X = np.asarray(X).reshape(-1, x_dim)
+                m = np.asarray(act).reshape(-1)
+                X = X[m]
+                y_part = np.full(len(X), scene_to_ctrl[sc], np.int32)
+                np.savez_compressed(
+                    os.path.join(data_dir, f"collect_{sc}.npz"),
+                    X=X.astype(np.float32), y=y_part)
+                Xs.append(X)
+                ys.append(y_part)
+                print(f"collect {sc:>20s}: {len(X):7d} obs "
+                      f"({time.time()-t0:.1f}s)", flush=True)
+            if args.collect_only:
+                return
+        X = np.concatenate(Xs)
+        y = np.concatenate(ys)
+
+        # ---- 3. train the router ---------------------------------------------
+        rng = np.random.default_rng(args.seed)
+        perm = rng.permutation(len(X))
+        X, y = X[perm], y[perm]
+        n_val = max(len(X) // 10, 1)
+        Xv, yv = X[:n_val], y[:n_val]
+        Xt, yt = X[n_val:], y[n_val:]
+        # class-balanced sampling weights (scenes produce different step counts)
+        counts = np.bincount(yt, minlength=n_ctrl).astype(np.float64)
+        w = (1.0 / np.maximum(counts, 1))[yt]
+        w /= w.sum()
+
+        router = RouterMLP(n_ctrl)
+        rp = router.init(jax.random.PRNGKey(args.seed), jnp.zeros((1, x_dim)))
+        tx = optax.adam(3e-4)
+        opt = tx.init(rp)
+
+        @jax.jit
+        def train_step(rp, opt, xb, yb):
+            def loss_fn(rp):
+                logits = router.apply(rp, xb)
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    logits, yb).mean()
+            loss, g = jax.value_and_grad(loss_fn)(rp)
+            up, opt = tx.update(g, opt, rp)
+            return optax.apply_updates(rp, up), opt, loss
+
+        @jax.jit
+        def accuracy(rp, xb, yb):
+            return (jnp.argmax(router.apply(rp, xb), -1) == yb).mean()
+
+        bs = 4096
         t0 = time.time()
-        X, act = collect_j(sc, masks[scene_to_ctrl[sc]], k)
-        X = np.asarray(X).reshape(-1, x_dim)
-        m = np.asarray(act).reshape(-1)
-        X = X[m]
-        Xs.append(X)
-        ys.append(np.full(len(X), scene_to_ctrl[sc], np.int32))
-        print(f"collect {sc:>20s}: {len(X):7d} obs "
-              f"({time.time()-t0:.1f}s)", flush=True)
-    X = np.concatenate(Xs)
-    y = np.concatenate(ys)
+        for step in range(args.steps):
+            idx = rng.choice(len(Xt), size=bs, p=w)
+            rp, opt, loss = train_step(rp, opt, jnp.asarray(Xt[idx]),
+                                       jnp.asarray(yt[idx]))
+            if (step + 1) % 500 == 0:
+                acc = float(accuracy(rp, jnp.asarray(Xv), jnp.asarray(yv)))
+                print(f"step {step+1}: loss {float(loss):.4f} "
+                      f"val acc {acc:.4f} ({time.time()-t0:.0f}s)", flush=True)
+        # per-class validation accuracy + confusion
+        pred = np.asarray(jnp.argmax(router.apply(rp, jnp.asarray(Xv)), -1))
+        conf = np.zeros((n_ctrl, n_ctrl), int)
+        for a, b in zip(yv, pred):
+            conf[a, b] += 1
+        per_class = {ctrl_names[c]: round(float(conf[c, c] / max(conf[c].sum(), 1)), 4)
+                     for c in range(n_ctrl)}
+        print("per-class val acc:", json.dumps(per_class, indent=1))
 
-    # ---- 3. train the router ---------------------------------------------
-    rng = np.random.default_rng(args.seed)
-    perm = rng.permutation(len(X))
-    X, y = X[perm], y[perm]
-    n_val = max(len(X) // 10, 1)
-    Xv, yv = X[:n_val], y[:n_val]
-    Xt, yt = X[n_val:], y[n_val:]
-    # class-balanced sampling weights (scenes produce different step counts)
-    counts = np.bincount(yt, minlength=n_ctrl).astype(np.float64)
-    w = (1.0 / np.maximum(counts, 1))[yt]
-    w /= w.sum()
-
-    router = RouterMLP(n_ctrl)
-    rp = router.init(jax.random.PRNGKey(args.seed), jnp.zeros((1, x_dim)))
-    tx = optax.adam(3e-4)
-    opt = tx.init(rp)
-
-    @jax.jit
-    def train_step(rp, opt, xb, yb):
-        def loss_fn(rp):
-            logits = router.apply(rp, xb)
-            return optax.softmax_cross_entropy_with_integer_labels(
-                logits, yb).mean()
-        loss, g = jax.value_and_grad(loss_fn)(rp)
-        up, opt = tx.update(g, opt, rp)
-        return optax.apply_updates(rp, up), opt, loss
-
-    @jax.jit
-    def accuracy(rp, xb, yb):
-        return (jnp.argmax(router.apply(rp, xb), -1) == yb).mean()
-
-    bs = 4096
-    t0 = time.time()
-    for step in range(args.steps):
-        idx = rng.choice(len(Xt), size=bs, p=w)
-        rp, opt, loss = train_step(rp, opt, jnp.asarray(Xt[idx]),
-                                   jnp.asarray(yt[idx]))
-        if (step + 1) % 500 == 0:
-            acc = float(accuracy(rp, jnp.asarray(Xv), jnp.asarray(yv)))
-            print(f"step {step+1}: loss {float(loss):.4f} "
-                  f"val acc {acc:.4f} ({time.time()-t0:.0f}s)", flush=True)
-    # per-class validation accuracy + confusion
-    pred = np.asarray(jnp.argmax(router.apply(rp, jnp.asarray(Xv)), -1))
-    conf = np.zeros((n_ctrl, n_ctrl), int)
-    for a, b in zip(yv, pred):
-        conf[a, b] += 1
-    per_class = {ctrl_names[c]: round(float(conf[c, c] / max(conf[c].sum(), 1)), 4)
-                 for c in range(n_ctrl)}
-    print("per-class val acc:", json.dumps(per_class, indent=1))
-
-    policy = RoutedPolicy(members=members, masks=masks, router_params=rp)
-    meta = {
-        "format": "panda_gym_tpu.routed_policy.v1",
-        "members": member_dirs,
-        "controllers": {ctrl_names[c]: [member_dirs[i]
-                                        for i, v in enumerate(ctrl_masks[c])
-                                        if v]
-                        for c in range(n_ctrl)},
-        "scene_to_controller": {sc: ctrl_names[scene_to_ctrl[sc]]
-                                for sc in CONTROLLERS},
-        "router_hidden": [128, 128],
-        "x_dim": x_dim,
-        "val_acc_per_class": per_class,
-        "train_obs": int(len(Xt)),
-    }
-    save_routed_policy(artifact, policy, meta)
-    print(f"saved {artifact}")
+        policy = RoutedPolicy(members=members, masks=masks, router_params=rp)
+        meta = {
+            "format": "panda_gym_tpu.routed_policy.v1",
+            "members": member_dirs,
+            "controllers": {ctrl_names[c]: [member_dirs[i]
+                                            for i, v in enumerate(ctrl_masks[c])
+                                            if v]
+                            for c in range(n_ctrl)},
+            "scene_to_controller": {sc: ctrl_names[scene_to_ctrl[sc]]
+                                    for sc in CONTROLLERS},
+            "router_hidden": [128, 128],
+            "use_sde": pool_sde,
+            "x_dim": x_dim,
+            "val_acc_per_class": per_class,
+            "train_obs": int(len(Xt)),
+        }
+        save_routed_policy(artifact, policy, meta)
+        print(f"saved {artifact}")
 
     # ---- 4. scene-blind benchmark ----------------------------------------
-    if args.benchmark:
+    if args.benchmark or args.benchmark_only:
         from panda_gym_tpu.eval.benchmark import (
             display_and_save_benchmark_results, perform_benchmark)
         rl = RoutedLearner(learner, n_ctrl)
         policy, meta = load_routed_policy(artifact)  # round-trip the artifact
-        results = {}
+        parts = os.path.join(args.out, "benchmark_parts")
+        os.makedirs(parts, exist_ok=True)
         for sc in (args.scenarios or BENCHMARK_SCENARIOS):
             core = make_core(sc)
             res = perform_benchmark(rl, [policy], core,
                                     n_episodes=args.episodes,
                                     horizon=300, seed=args.seed)
-            results[sc] = res
             print(f"  {sc:>20s} success={res['success_rate']:.2f} "
                   f"collision={res['collision_rate']:.2f}", flush=True)
-            with open(os.path.join(args.out, "benchmark.json"), "w") as f:
-                json.dump(results, f, indent=1)
+            # per-scene part files: parallel invocations over scenario
+            # subsets never clobber each other; merged below
+            with open(os.path.join(parts, f"{sc}.json"), "w") as f:
+                json.dump(res, f, indent=1)
+        results = {}
+        for sc in BENCHMARK_SCENARIOS:
+            pf = os.path.join(parts, f"{sc}.json")
+            if os.path.exists(pf):
+                with open(pf) as f:
+                    results[sc] = json.load(f)
+        with open(os.path.join(args.out, "benchmark.json"), "w") as f:
+            json.dump(results, f, indent=1)
         display_and_save_benchmark_results(
             results, os.path.join(args.out, "benchmark"))
         mean = float(np.mean([r["success_rate"] for r in results.values()]))
-        print(json.dumps({"routed_generalist_mean": round(mean, 4)}))
+        print(json.dumps({"routed_generalist_mean": round(mean, 4),
+                          "scenes": len(results)}))
 
 
 if __name__ == "__main__":

@@ -53,6 +53,11 @@ def main():
     import signal
     faulthandler.register(signal.SIGUSR1)
 
+    # honor JAX_PLATFORMS under the axon site hook (jax.config wins)
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax as _jax
+        _jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     import jax
     import numpy as np
 
@@ -80,7 +85,9 @@ def main():
     cfg.safety_distance = 0.0
     if not isinstance(getattr(cfg, "hyperparams", None), Hyperparameters):
         cfg.hyperparams = Hyperparameters(cfg.algorithm)
-    cfg.hyperparams.use_sde = True
+    # match the member pool's actor graph (campaign ckpts carry the legacy
+    # squashed-Gaussian actor; build_router records which)
+    cfg.hyperparams.use_sde = bool(meta.get("use_sde", False))
 
     cores = {}
 
