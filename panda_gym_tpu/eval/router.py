@@ -180,7 +180,15 @@ def save_routed_policy(path: str, policy: RoutedPolicy, meta: Dict) -> str:
 
 
 def load_routed_policy(path: str):
-    """Returns (RoutedPolicy, meta)."""
+    """Returns (RoutedPolicy, meta).
+
+    Leaves stay HOST-side numpy deliberately: consumers either pass the
+    policy as a jit argument (device_put at dispatch) or close over it —
+    and a closed-over numpy constant folds into the lowering for free,
+    while a device-array constant forces a device->host read during MLIR
+    lowering, which on the TPU tunnel can wedge for minutes (round-5
+    faulthandler diagnosis: _array_mlir_constant_handler blocked on
+    _value for the 5 MB member stack)."""
     from panda_gym_tpu.rl.policy_io import _unflatten
     with np.load(path, allow_pickle=False) as z:
         meta = json.loads(str(z["__meta__"]))
@@ -191,8 +199,6 @@ def load_routed_policy(path: str):
             {k[len("router/"):]: z[k] for k in z.files
              if k.startswith("router/")})
         masks = z["masks"]
-    policy = RoutedPolicy(
-        members=jax.tree_util.tree_map(jnp.asarray, members),
-        masks=jnp.asarray(masks),
-        router_params=jax.tree_util.tree_map(jnp.asarray, router))
+    policy = RoutedPolicy(members=members, masks=np.asarray(masks),
+                          router_params=router)
     return policy, meta

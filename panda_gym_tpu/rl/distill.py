@@ -36,13 +36,21 @@ from panda_gym_tpu.rl.train import flat_x
 
 
 def collect_labeled(core, actor, members, mask, n_episodes: int,
-                    horizon: int, key, student_params=None):
+                    horizon: int, key, student_params=None,
+                    drive_noise: float = 0.0, student_actor=None):
     """Roll a policy on `core`; label every visited state with the
     TEACHER's (masked-fusion) action.
 
     student_params None  -> teacher drives (behavioral cloning round);
     student_params given -> the STUDENT drives and the teacher only
     labels (DAgger: corrections on the student's own distribution).
+
+    drive_noise > 0 adds Gaussian action noise to the DRIVING action only
+    (labels stay the noiseless teacher action) — DART-style injection
+    (Laskey et al. 2017): the dataset covers a tube around the expert
+    trajectories instead of their measure-zero spine, which is what plain
+    BC from a deterministic teacher fatally lacks (round-5 measurement:
+    noiseless BC student 0.16-0.77 per scene with 0.2-0.7 collision).
 
     Returns (X, A_teacher, active): (T, B, x_dim), (T, B, act_dim), (T, B).
     """
@@ -52,14 +60,21 @@ def collect_labeled(core, actor, members, mask, n_episodes: int,
         return masked_bayesian_fusion(means, stds, mask)
 
     def student(x):
-        out = actor.apply(student_params, x)   # arity static: SDE=3, legacy=2
+        # the student may have its own (wider) actor module
+        mod = student_actor if student_actor is not None else actor
+        out = mod.apply(student_params, x)     # arity static: SDE=3, legacy=2
         return jnp.tanh(out[0])
 
     def step_fn(carry, _):
-        states, obs, done = carry
+        states, obs, done, k = carry
         x = flat_x(obs)
         a_t = teacher(x)
         a_drive = a_t if student_params is None else student(x)
+        if drive_noise > 0.0:
+            k, k_n = jax.random.split(k)
+            a_drive = jnp.clip(
+                a_drive + drive_noise * jax.random.normal(
+                    k_n, a_drive.shape), -1.0, 1.0)
         nstates, nobs, _r, term, trunc, _info = core.batched_step(
             states, a_drive)
         keep = lambda old, new: jnp.where(
@@ -68,13 +83,14 @@ def collect_labeled(core, actor, members, mask, n_episodes: int,
         obs = jax.tree_util.tree_map(keep, obs, nobs)
         out = (x, a_t, ~done)
         done = done | term | trunc
-        return (states, obs, done), out
+        return (states, obs, done, k), out
 
+    key, k_loop = jax.random.split(key)
     keys = jax.random.split(key, n_episodes)
     states, obs0 = jax.vmap(core.reset)(keys)
     done0 = jnp.zeros(n_episodes, bool)
     _carry, (X, A, act) = jax.lax.scan(
-        step_fn, (states, obs0, done0), None, length=horizon)
+        step_fn, (states, obs0, done0, k_loop), None, length=horizon)
     return X, A, act
 
 

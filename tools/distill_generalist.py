@@ -38,12 +38,19 @@ def main():
                                        "routed_gen/routed_policy.npz")
     p.add_argument("--out", default="training/run_data/round5_campaign/"
                                     "distilled_gen")
-    p.add_argument("--bc-episodes", type=int, default=64)
+    p.add_argument("--bc-episodes", type=int, default=128)
     p.add_argument("--dagger-rounds", type=int, default=3)
-    p.add_argument("--dagger-episodes", type=int, default=32)
+    p.add_argument("--dagger-episodes", type=int, default=64)
     p.add_argument("--horizon", type=int, default=300)
-    p.add_argument("--steps", type=int, default=4000,
+    p.add_argument("--drive-noise", type=float, default=0.3,
+                   help="DART-style Gaussian noise on the teacher's "
+                        "DRIVING action during BC collection (labels stay "
+                        "noiseless); 0 disables")
+    p.add_argument("--steps", type=int, default=8000,
                    help="gradient steps per training round")
+    p.add_argument("--net-arch", nargs="+", type=int, default=[512, 512],
+                   help="student MLP widths — wider than the 256x256 "
+                        "experts by default: one net absorbs 17")
     p.add_argument("--episodes", type=int, default=100,
                    help="benchmark episodes per scene")
     p.add_argument("--seed", type=int, default=0)
@@ -88,6 +95,11 @@ def main():
     # match the member pool's actor graph (campaign ckpts carry the legacy
     # squashed-Gaussian actor; build_router records which)
     cfg.hyperparams.use_sde = bool(meta.get("use_sde", False))
+    # MEMBER learner keeps the pool arch; the STUDENT gets its own width
+    student_hp = Hyperparameters(cfg.algorithm)
+    student_hp.use_sde = cfg.hyperparams.use_sde
+    student_hp.policy_kwargs = dict(student_hp.policy_kwargs,
+                                    net_arch=list(args.net_arch))
 
     cores = {}
 
@@ -104,14 +116,18 @@ def main():
     x_dim = obs["observation"].shape[0] + 2 * obs["achieved_goal"].shape[0]
     learner = make_learner(cfg.algorithm, x_dim, probe.robot.action_dim,
                            cfg.hyperparams)
+    student_learner = make_learner(cfg.algorithm, x_dim,
+                                   probe.robot.action_dim, student_hp)
     actor = learner.actor
+    student_actor = student_learner.actor
     members, masks = policy.members, policy.masks
 
     collect_j = jax.jit(
         lambda core_id, mask, key, student: collect_labeled(
             cores[core_id], actor, members, mask,
             args.bc_episodes, args.horizon, key,
-            student_params=student),
+            student_params=student, drive_noise=args.drive_noise,
+            student_actor=student_actor),
         static_argnums=(0,))
 
     # DAgger collection has its own episode count -> separate jit
@@ -119,7 +135,7 @@ def main():
         lambda core_id, mask, key, student: collect_labeled(
             cores[core_id], actor, members, mask,
             args.dagger_episodes, args.horizon, key,
-            student_params=student),
+            student_params=student, student_actor=student_actor),
         static_argnums=(0,))
 
     key = jax.random.PRNGKey(args.seed)
@@ -161,10 +177,10 @@ def main():
         return X, A, w
 
     def benchmark(student_params, tag):
-        ts = student_as_trainstate(learner, student_params)
+        ts = student_as_trainstate(student_learner, student_params)
         results = {}
         for sc in BENCHMARK_SCENARIOS:
-            res = perform_benchmark(learner, [ts], make_core(sc),
+            res = perform_benchmark(student_learner, [ts], make_core(sc),
                                     n_episodes=args.episodes,
                                     horizon=300, seed=args.seed)
             results[sc] = res
@@ -179,10 +195,10 @@ def main():
     # ---- round 0: behavioral cloning from teacher rollouts ---------------
     rounds = [gather(None, collect_j, "bc")]
     key, k_init = jax.random.split(key)
-    student = init_student(learner, k_init)
+    student = init_student(student_learner, k_init)
     X, A, w = flatten_balanced(rounds)
     print(f"BC dataset: {len(X)} samples")
-    student, loss = bc_train(actor, student, X, A, steps=args.steps,
+    student, loss = bc_train(student_actor, student, X, A, steps=args.steps,
                              seed=args.seed, weights=w)
     results, mean = benchmark(student, "bc")
     best = (mean, student, results, "bc")
@@ -192,7 +208,7 @@ def main():
         rounds.append(gather(student, collect_dagger_j, f"dagger{r+1}"))
         X, A, w = flatten_balanced(rounds)
         print(f"DAgger round {r+1} dataset: {len(X)} samples")
-        student, loss = bc_train(actor, student, X, A, steps=args.steps,
+        student, loss = bc_train(student_actor, student, X, A, steps=args.steps,
                                  seed=args.seed + r + 1, weights=w)
         results, mean = benchmark(student, f"dagger{r+1}")
         if mean > best[0]:
@@ -200,7 +216,7 @@ def main():
 
     # ---- persist the best student ----------------------------------------
     mean, student, results, tag = best
-    ts = student_as_trainstate(learner, student)
+    ts = student_as_trainstate(student_learner, student)
     ckpt = os.path.join(args.out, "best_model.ckpt")
     with open(ckpt, "wb") as f:
         pickle.dump({"ts": jax.device_get(ts), "timesteps": 0,
