@@ -140,19 +140,46 @@ def main():
 
     key = jax.random.PRNGKey(args.seed)
 
+    data_dir = os.path.join(args.out, "data")
+    os.makedirs(data_dir, exist_ok=True)
+
     def gather(student_params, episodes_jit, tag):
-        """One labeled pass over all scenes; returns per-scene (X, A)."""
+        """One labeled pass over all scenes; returns per-scene (X, A).
+
+        Parts persist to <out>/data/<tag>_<scene>.npz and are reloaded on
+        resume; transient tunnel failures (remote_compile truncations)
+        retry 3x instead of killing the whole pipeline."""
         nonlocal key
         data = {}
         for sc in scene_to_ctrl:
             key, k = jax.random.split(key)
+            part = os.path.join(data_dir, f"{tag}_{sc}.npz")
+            if os.path.exists(part):
+                with np.load(part) as z:
+                    data[sc] = (z["X"], z["A"])
+                print(f"  collect[{tag}] {sc:>20s}: {len(data[sc][0]):7d} "
+                      f"labeled (resumed)", flush=True)
+                continue
             make_core(sc)   # materialize before the static-arg jit lookup
             mask = masks[ctrl_names.index(scene_to_ctrl[sc])]
             t0 = time.time()
-            X, A, act = episodes_jit(sc, mask, k, student_params)
+            X = None
+            for attempt in range(3):
+                try:
+                    X, A, act = episodes_jit(sc, mask, k, student_params)
+                    break
+                except jax.errors.JaxRuntimeError as e:
+                    print(f"  !! collect[{tag}] {sc} attempt {attempt}: "
+                          f"{e}", flush=True)
+            if X is None:
+                print(f"  !! collect[{tag}] {sc}: FAILED, skipping scene",
+                      flush=True)
+                continue
             m = np.asarray(act).reshape(-1)
             X = np.asarray(X).reshape(-1, x_dim)[m]
             A = np.asarray(A).reshape(-1, A.shape[-1])[m]
+            np.savez_compressed(part, X=X.astype(np.float32),
+                                A=A.astype(np.float32))
             data[sc] = (X, A)
             print(f"  collect[{tag}] {sc:>20s}: {len(X):7d} labeled "
                   f"({time.time()-t0:.1f}s)", flush=True)
@@ -179,40 +206,89 @@ def main():
     def benchmark(student_params, tag):
         ts = student_as_trainstate(student_learner, student_params)
         results = {}
+        cache = os.path.join(data_dir, f"bench_{tag}.json")
+        if os.path.exists(cache):
+            with open(cache) as f:
+                results = json.load(f)
         for sc in BENCHMARK_SCENARIOS:
-            res = perform_benchmark(student_learner, [ts], make_core(sc),
-                                    n_episodes=args.episodes,
-                                    horizon=300, seed=args.seed)
+            if sc in results:
+                continue
+            res = None
+            for attempt in range(3):
+                try:
+                    res = perform_benchmark(
+                        student_learner, [ts], make_core(sc),
+                        n_episodes=args.episodes, horizon=300,
+                        seed=args.seed)
+                    break
+                except jax.errors.JaxRuntimeError as e:
+                    print(f"  !! bench[{tag}] {sc} attempt {attempt}: {e}",
+                          flush=True)
+            if res is None:
+                print(f"  !! bench[{tag}] {sc}: FAILED after retries",
+                      flush=True)
+                continue
             results[sc] = res
+            with open(cache, "w") as f:
+                json.dump(results, f, indent=1)
             print(f"  bench[{tag}] {sc:>20s} "
                   f"success={res['success_rate']:.2f} "
                   f"collision={res['collision_rate']:.2f}", flush=True)
         mean = float(np.mean([r["success_rate"] for r in results.values()]))
-        print(json.dumps({f"distilled_mean_{tag}": round(mean, 4)}),
-              flush=True)
+        print(json.dumps({f"distilled_mean_{tag}": round(mean, 4),
+                          "scenes": len(results)}), flush=True)
         return results, mean
+
+    from panda_gym_tpu.rl.policy_io import _flatten as _pflat, \
+        _unflatten as _punflat
+
+    def save_student(params, tag):
+        arrays = {k: np.asarray(v) for k, v in _pflat(params).items()}
+        np.savez_compressed(os.path.join(data_dir, f"student_{tag}.npz"),
+                            **arrays)
+
+    def load_student(tag):
+        p = os.path.join(data_dir, f"student_{tag}.npz")
+        if not os.path.exists(p):
+            return None
+        with np.load(p) as z:
+            return _punflat({k: z[k] for k in z.files})
 
     # ---- round 0: behavioral cloning from teacher rollouts ---------------
     rounds = [gather(None, collect_j, "bc")]
-    key, k_init = jax.random.split(key)
-    student = init_student(student_learner, k_init)
-    X, A, w = flatten_balanced(rounds)
-    print(f"BC dataset: {len(X)} samples")
-    student, loss = bc_train(student_actor, student, X, A, steps=args.steps,
-                             seed=args.seed, weights=w)
+    student = load_student("bc")
+    if student is None:
+        key, k_init = jax.random.split(key)
+        student = init_student(student_learner, k_init)
+        X, A, w = flatten_balanced(rounds)
+        print(f"BC dataset: {len(X)} samples")
+        student, loss = bc_train(student_actor, student, X, A,
+                                 steps=args.steps, seed=args.seed,
+                                 weights=w)
+        save_student(student, "bc")
+    else:
+        print("resumed student_bc", flush=True)
     results, mean = benchmark(student, "bc")
     best = (mean, student, results, "bc")
 
     # ---- DAgger rounds ---------------------------------------------------
     for r in range(args.dagger_rounds):
-        rounds.append(gather(student, collect_dagger_j, f"dagger{r+1}"))
-        X, A, w = flatten_balanced(rounds)
-        print(f"DAgger round {r+1} dataset: {len(X)} samples")
-        student, loss = bc_train(student_actor, student, X, A, steps=args.steps,
-                                 seed=args.seed + r + 1, weights=w)
-        results, mean = benchmark(student, f"dagger{r+1}")
+        tag = f"dagger{r+1}"
+        rounds.append(gather(student, collect_dagger_j, tag))
+        resumed = load_student(tag)
+        if resumed is None:
+            X, A, w = flatten_balanced(rounds)
+            print(f"DAgger round {r+1} dataset: {len(X)} samples")
+            student, loss = bc_train(student_actor, student, X, A,
+                                     steps=args.steps,
+                                     seed=args.seed + r + 1, weights=w)
+            save_student(student, tag)
+        else:
+            student = resumed
+            print(f"resumed student_{tag}", flush=True)
+        results, mean = benchmark(student, tag)
         if mean > best[0]:
-            best = (mean, student, results, f"dagger{r+1}")
+            best = (mean, student, results, tag)
 
     # ---- persist the best student ----------------------------------------
     mean, student, results, tag = best
