@@ -123,7 +123,11 @@ def bc_train(actor, params, X: np.ndarray, A: np.ndarray, *,
         idx = rng.choice(len(X), size=min(batch_size, len(X)), p=p)
         params, opt, loss = train_step(params, opt, jnp.asarray(X[idx]),
                                        jnp.asarray(A[idx]))
-        if (step + 1) % 1000 == 0:
+        # sync the loss scalar RARELY: each float() is a device->host
+        # round-trip, and the TPU tunnel's D2H path intermittently wedges
+        # for many minutes on exactly such tiny reads (round-5 stall
+        # diagnosed at this line)
+        if (step + 1) % 2000 == 0:
             log(f"bc step {step+1}: loss {float(loss):.5f} "
                 f"({time.time()-t0:.0f}s)")
     return params, float(loss)
