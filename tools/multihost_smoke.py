@@ -52,7 +52,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def worker(pid: int, nproc: int, port: int):
+def worker(pid: int, nproc: int, port: int, dev_per_proc: int):
     # force CPU before jax import; the axon site hook may override the env
     # var, so also pin via jax.config
     import jax
@@ -74,7 +74,7 @@ def worker(pid: int, nproc: int, port: int):
     assert jax.process_count() == nproc
     ndev = len(jax.devices())
     nlocal = len(jax.local_devices())
-    assert ndev == nproc * DEV_PER_PROC, (ndev, nlocal)
+    assert ndev == nproc * dev_per_proc, (ndev, nlocal)
 
     import jax.numpy as jnp
     import numpy as np
@@ -147,22 +147,34 @@ def main():
     if "--worker" in sys.argv:
         i = sys.argv.index("--worker")
         worker(int(sys.argv[i + 1]), int(sys.argv[i + 2]),
-               int(sys.argv[i + 3]))
+               int(sys.argv[i + 3]), int(sys.argv[i + 4]))
         return
 
     nproc = int(sys.argv[sys.argv.index("--nproc") + 1]) \
         if "--nproc" in sys.argv else 4
+    # workers contend for the host's cores (often just one in this image):
+    # wall grows superlinearly with nproc, so the per-worker join timeout
+    # must too (a fixed 600 s killed a 4-proc run whose 2-proc sibling
+    # took 552 s)
+    join_timeout = int(sys.argv[sys.argv.index("--timeout") + 1]) \
+        if "--timeout" in sys.argv else max(600, 600 * nproc // 2)
+    # more workers than host cores degrade superlinearly (CPU collectives
+    # spin-wait); --dev-per-proc 1 keeps the GLOBAL device count constant
+    # while scaling the process axis, which is the multi-host semantics
+    # under test
+    dev_per_proc = int(sys.argv[sys.argv.index("--dev-per-proc") + 1]) \
+        if "--dev-per-proc" in sys.argv else DEV_PER_PROC
     out_path = sys.argv[sys.argv.index("--out") + 1] \
         if "--out" in sys.argv else os.path.join(REPO, "MULTIHOST_SMOKE.json")
     port = _free_port()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
-                        f" --xla_force_host_platform_device_count={DEV_PER_PROC}")
+                        f" --xla_force_host_platform_device_count={dev_per_proc}")
     t0 = time.time()
     procs = [subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--worker", str(i),
-         str(nproc), str(port)],
+         str(nproc), str(port), str(dev_per_proc)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for i in range(nproc)]
 
@@ -186,7 +198,7 @@ def main():
     ok = True
     for i, p in enumerate(procs):
         try:
-            out, _ = p.communicate(timeout=600)
+            out, _ = p.communicate(timeout=join_timeout)
         except subprocess.TimeoutExpired:
             _reap()
         outs.append(out.decode())
@@ -204,7 +216,7 @@ def main():
     record = {
         "ok": True,
         "processes": nproc,
-        "devices_per_process": DEV_PER_PROC,
+        "devices_per_process": dev_per_proc,
         "checks": ["initialize_multihost->jax.distributed.initialize",
                    "global mesh spans processes",
                    "cross-process psum (global_metric_mean)",

@@ -1,0 +1,134 @@
+"""Round-5 training-throughput evidence: population K-scaling + the
+64-vs-512 equal-budget quality pair (VERDICT r4 #2 / #8).
+
+Writes THROUGHPUT_r05.json at the repo root with two sections:
+
+- "population": per-run rows for the K-seed probes (pop_k1/2/4/8 on
+  reachao1) and the campaign run (pop_rs) — steady-state AGGREGATE
+  env-steps/s (median over rollout-row wall deltas, so compile/eval
+  stalls drop out), per-member steps/s, and the K-scaling ratio vs the
+  K=1 probe.  The round-4 loop was update-bound with the chip ~99.7%
+  idle; the member axis batches the per-update matmuls K-fold on the
+  MXU, and these rows measure how far that recovers.
+- "equal_budget": n_envs 64 vs 512 on the same scene at the same sample
+  budget with interleave on — final/max eval success for both, closing
+  the half-open quality claim from THROUGHPUT_r04.json's short pilots.
+
+Reference scale axis: SubprocVecEnv n_envs (training/utils/
+setup_training.py:44-47) — one OS process per env, no seed axis at all;
+K seeds there are K full processes each re-paying the pipeline.
+
+Usage:
+    python tools/throughput_r05.py [--pop pop_k1 pop_k2 pop_k4 pop_k8 pop_rs]
+                                   [--pair eqb_64 eqb_512]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASE = os.path.join(REPO, "training/run_data/round5_campaign")
+
+
+def _rows(run_dir: str):
+    path = os.path.join(run_dir, "metrics.jsonl")
+    if not os.path.exists(path):
+        return None
+    return [json.loads(l) for l in open(path)]
+
+
+def analyze_population(run_dir: str):
+    rows = _rows(run_dir)
+    if rows is None:
+        return None
+    tr = [r for r in rows if "rollout_success" in r and "_t" in r]
+    if len(tr) < 2:
+        return None
+    K = tr[-1].get("members", 1)
+    # timesteps is the AGGREGATE across members; median of row deltas
+    # excludes compile and eval stalls
+    wall = [(b["timesteps"] - a["timesteps"]) / (b["_t"] - a["_t"])
+            for a, b in zip(tr[:-1], tr[1:]) if b["_t"] > a["_t"]
+            and b["timesteps"] > a["timesteps"]]
+    evals = [r["eval_success"] for r in rows if "eval_success" in r]
+    agg = round(statistics.median(wall), 1) if wall else None
+    return {
+        "members": K,
+        "rollout_rows": len(tr),
+        "total_timesteps": tr[-1]["timesteps"],
+        "agg_sps_median": agg,
+        "per_member_sps_median": round(agg / K, 1) if agg else None,
+        "wall_s": round(tr[-1]["_t"] - tr[0]["_t"], 1),
+        "final_eval_per_member": evals[-1] if evals else None,
+        "stages": sorted({r["scenario"] for r in tr}),
+    }
+
+
+def analyze_single(run_dir: str):
+    rows = _rows(run_dir)
+    if rows is None:
+        return None
+    tr = [r for r in rows if "rollout_success" in r and "_t" in r]
+    ts = [(r["timesteps"], r["_t"], r.get("t_collect", 0.0),
+           r.get("t_update", 0.0)) for r in tr]
+    wall = [(b[0] - a[0]) / (b[1] - a[1])
+            for a, b in zip(ts[:-1], ts[1:]) if b[1] > a[1]]
+    pure = [(b[0] - a[0]) / max(b[2] + b[3], 1e-9)
+            for a, b in zip(ts[:-1], ts[1:])]
+    evals = [r["eval_success"] for r in rows if "eval_success" in r]
+    return {
+        "rollout_rows": len(tr),
+        "total_timesteps": ts[-1][0] if ts else 0,
+        "steady_sps_wall_median": round(statistics.median(wall), 1)
+        if wall else None,
+        "train_loop_sps_median": round(statistics.median(pure), 1)
+        if pure else None,
+        "eval_success_final": evals[-1] if evals else None,
+        "eval_success_max": max(evals) if evals else None,
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--pop", nargs="+",
+                   default=["pop_k1", "pop_k2", "pop_k4", "pop_k8",
+                            "pop_rs"])
+    p.add_argument("--pair", nargs=2, default=["eqb_64", "eqb_512"])
+    args = p.parse_args()
+
+    out = {"population": {}, "equal_budget": {}}
+    k1 = None
+    for name in args.pop:
+        row = analyze_population(os.path.join(BASE, name))
+        if row is None:
+            print(f"(skip {name}: no usable metrics)")
+            continue
+        out["population"][name] = row
+        if row["members"] == 1 and name.startswith("pop_k"):
+            k1 = row["agg_sps_median"]
+        print(name, json.dumps(row))
+    if k1:
+        for name, row in out["population"].items():
+            if row["agg_sps_median"]:
+                row["scaling_vs_k1"] = round(row["agg_sps_median"] / k1, 2)
+                row["wall_vs_k_serial"] = round(
+                    k1 * row["members"] / row["agg_sps_median"], 2)
+
+    for name in args.pair:
+        row = analyze_single(os.path.join(BASE, name))
+        if row is None:
+            print(f"(skip {name}: no usable metrics)")
+            continue
+        out["equal_budget"][name] = row
+        print(name, json.dumps(row))
+
+    with open(os.path.join(REPO, "THROUGHPUT_r05.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote THROUGHPUT_r05.json")
+
+
+if __name__ == "__main__":
+    main()
