@@ -7,7 +7,7 @@
 # 3. cross-seed bayesian fusions of the top members (round-4 mechanism)
 set -u
 cd "$(dirname "$0")/.."
-POP=training/run_data/round5_campaign/pop_rs
+POP=${POP:-training/run_data/round5_campaign/pop_rs}
 K=${K:-6}
 SCENE=reachao_rand_start
 

@@ -17,7 +17,7 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-POP = os.path.join(REPO, "training/run_data/round5_campaign/pop_rs")
+BASE = os.path.join(REPO, "training/run_data/round5_campaign")
 
 
 def main():
@@ -25,16 +25,24 @@ def main():
     p.add_argument("--scene", default="reachao_rand_start")
     p.add_argument("--episodes", type=int, default=100)
     p.add_argument("--sizes", nargs="+", type=int, default=[3, 4, 5])
+    p.add_argument("--pops", nargs="+", default=["pop_rs"],
+                   help="population run names under round5_campaign; "
+                        "members pool and rank ACROSS runs")
+    p.add_argument("--out-pop", default=None,
+                   help="run that owns fusions.json + fusion benchmarks "
+                        "(default: first of --pops)")
     args = p.parse_args()
 
-    rows = {}
-    for i in range(16):
-        path = os.path.join(POP, f"m{i}", "benchmark.json")
-        if os.path.exists(path):
-            with open(path) as f:
-                b = json.load(f)
-            if args.scene in b:
-                rows[f"m{i}"] = b[args.scene]["success_rate"]
+    out_pop = os.path.join(BASE, args.out_pop or args.pops[0])
+    rows = {}   # member label "popname/mI" -> success
+    for pop in args.pops:
+        for i in range(16):
+            path = os.path.join(BASE, pop, f"m{i}", "benchmark.json")
+            if os.path.exists(path):
+                with open(path) as f:
+                    b = json.load(f)
+                if args.scene in b:
+                    rows[f"{pop}/m{i}"] = b[args.scene]["success_rate"]
     if not rows:
         raise SystemExit("no per-member benchmark rows; run pop_rs_bench.sh")
     ranked = sorted(rows, key=rows.get, reverse=True)
@@ -47,10 +55,11 @@ def main():
         if n > len(ranked):
             continue
         members = ranked[:n]
-        tag = "ens_" + "".join(m[1:] for m in members)
-        out_prefix = os.path.join(POP, f"benchmark_{tag}")
+        tag = "ens_" + "_".join(m.replace("pop_rs", "r").replace("/m", "")
+                                for m in members)
+        out_prefix = os.path.join(out_pop, f"benchmark_{tag}")
         cmd = [sys.executable, "tools/evaluate.py",
-               *[os.path.join(POP, m) for m in members],
+               *[os.path.join(BASE, m) for m in members],
                "--strategy", "bayesian_fusion",
                "--scenarios", args.scene,
                "--episodes", str(args.episodes),
@@ -71,7 +80,7 @@ def main():
         else:
             print(f"!! fusion {tag} failed (rc={r.returncode})")
     out["best"] = {"name": best_name, "success_rate": best}
-    with open(os.path.join(POP, "fusions.json"), "w") as f:
+    with open(os.path.join(out_pop, "fusions.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"rand_start_best": best, "claimant": best_name}))
 

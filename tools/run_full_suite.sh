@@ -5,9 +5,9 @@
 # helps repeat runs. Expect ~45-90 min cold.
 set -u -o pipefail
 cd /root/repo
-OUT=docs/test_run_r4.txt
+OUT=${OUT:-docs/test_run_r5.txt}
 {
-  echo "# Full test-suite record, round 4"
+  echo "# Full test-suite record, round 5"
   echo "# date: $(date -u +%Y-%m-%dT%H:%M:%SZ)"
   echo "# host: $(uname -a)"
   echo "# commit: $(git rev-parse HEAD)"
