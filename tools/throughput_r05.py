@@ -125,6 +125,26 @@ def main():
         out["equal_budget"][name] = row
         print(name, json.dumps(row))
 
+    out["analysis"] = (
+        "K-scaling: pop_rs trained 6 seeds through a 3-stage start-pose "
+        "curriculum in one 47-min sitting at a 22.4k agg steps/s median "
+        "(uncontended until its final minutes) and pop_rs2 at 26.0k -- vs "
+        "8.2-9.2k wall for round-4's SOLO single-seed runs on the same "
+        "scene family (tqc_r4_rs_s1/s3): ~2.6x aggregate, i.e. 6 seeds "
+        "for ~2.3x one seed's wall-clock. The K=1 probe (pop_k1, 39.7k) "
+        "ran while other chip jobs were live, so it mixes collect-phase "
+        "rows and contention; the r4 solo rows are the cleaner baseline. "
+        "Equal-budget pair (reachao1, 2.5M samples, interleave on, same "
+        "preset UTD): n_envs=64 converges to 0.99 final eval; n_envs=512 "
+        "OSCILLATES (0.09/0.87/0.06/0.87/../0.05 final, max 0.87) -- the "
+        "large-batch interleave instability the round-4 gate was built "
+        "against recurs in long 512-env single-scene runs even with the "
+        "update-pressure-scaled gate (ADVICE r4 fix), so equal-budget "
+        "quality parity at 512 is NOT demonstrated; the stable 512 "
+        "evidence remains the 10M-step 23-scene mixture sitting "
+        "(tqc_r4_gen, THROUGHPUT_r04.json). Wall rates for eqb_* are "
+        "contention-contaminated (they shared the chip with the "
+        "population sittings); their QUALITY rows are unaffected.")
     with open(os.path.join(REPO, "THROUGHPUT_r05.json"), "w") as f:
         json.dump(out, f, indent=1)
     print("wrote THROUGHPUT_r05.json")
